@@ -1,0 +1,15 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the driver dry-runs
+the real multi-chip path separately via __graft_entry__.dryrun_multichip).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
