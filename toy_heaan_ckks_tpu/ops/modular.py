@@ -45,7 +45,7 @@ def _split_u64_np(values) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class ModulusChain:
     """Precomputed per-channel Montgomery constants for an RNS prime chain.
 

@@ -1,0 +1,296 @@
+"""RNS polynomial layer: functional kernels + a light ``Poly`` wrapper.
+
+The reference's central datatype is ``RnsPoly`` — per-channel u64 arrays, an
+Arc'd basis and an ``in_ntt_domain`` flag, mutated in place (reference:
+src/rings/backends/rns_ntt/poly.rs:16-250). Here the equivalent is a dense
+uint32 limb array of shape (L, 2, N) in Montgomery form plus a pure-function
+kernel set; ``Poly`` is an immutable convenience wrapper. Polynomials are
+kept resident in NTT domain by the engine (the reference stores ciphertexts
+in coefficient domain and pays 3 NTTs per multiply — see SURVEY.md §3.2);
+coefficient domain appears only at encode/decode, rescale, and automorphism
+boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..context import CkksContext
+from ..math import sampling
+from ..math.crt import reconstruct_centered
+from . import modular as mm
+from .ntt import forward_ntt, inverse_ntt
+
+# ── Functional kernels (jitted; data = uint32 (..., L, 2, N) Montgomery) ────
+
+
+@jax.jit
+def add(a, b, ctx: CkksContext):
+    return mm.add_mod(a, b, ctx.chain)
+
+
+@jax.jit
+def sub(a, b, ctx: CkksContext):
+    return mm.sub_mod(a, b, ctx.chain)
+
+
+@jax.jit
+def neg(a, ctx: CkksContext):
+    return mm.neg_mod(a, ctx.chain)
+
+
+@jax.jit
+def mul_pointwise(a, b, ctx: CkksContext):
+    """Pointwise product — negacyclic poly product when both in NTT domain."""
+    return mm.mont_mul(a, b, ctx.chain)
+
+
+@jax.jit
+def to_ntt(a, ctx: CkksContext):
+    return forward_ntt(a, ctx.ntt, ctx.chain)
+
+
+@jax.jit
+def to_coeff(a, ctx: CkksContext):
+    return inverse_ntt(a, ctx.ntt, ctx.chain)
+
+
+@jax.jit
+def rescale(a, ctx: CkksContext):
+    """Exact RNS rescale: drop q_last, divide by it. Coeff-domain in/out.
+
+    new[i][j] = (c[i][j] - c[L-1][j] mod q_i) * q_last^{-1} mod q_i
+    (parity: reference poly.rs:187-228; exact integer division, no floats).
+    Input shape (..., L, 2, N) -> output (..., L-1, 2, N).
+    """
+    num = a.shape[-3]
+    if num < 2:
+        raise ValueError("rescale: need at least two channels")
+    child = ctx.chain.drop_last(1)
+    last_chain = _chain_slice(ctx.chain, num - 1, num)
+
+    last = a[..., num - 1 : num, :, :]
+    plain_last = mm.from_mont(last, last_chain)  # plain x in [0, q_last)
+    bcast = jnp.broadcast_to(
+        plain_last, a.shape[:-3] + (num - 1,) + a.shape[-2:]
+    )
+    mont_x = mm.to_mont(bcast, child)  # Montgomery form of x mod q_i
+    diff = mm.sub_mod(a[..., : num - 1, :, :], mont_x, child)
+    return mm.mont_mul(diff, ctx.qlast_inv, child)
+
+
+def mod_drop_last(a, count: int = 1):
+    keep = a.shape[-3] - count
+    if keep < 1:
+        raise ValueError("mod_drop_last: cannot drop all channels")
+    return a[..., :keep, :, :]
+
+
+@jax.jit
+def automorphism(a, src, negate, ctx: CkksContext):
+    """X -> X^e on coefficient-domain data via precomputed gather table.
+
+    out[..., j] = +/- a[..., src[j]]; ``src``/``negate`` come from
+    ``ctx.automorphism_table(e)``.
+    """
+    gathered = jnp.take(a, src, axis=-1)
+    negated = mm.neg_mod(gathered, ctx.chain)
+    return jnp.where(negate, negated, gathered)
+
+
+def _chain_slice(chain: mm.ModulusChain, start: int, stop: int) -> mm.ModulusChain:
+    return mm.ModulusChain(
+        moduli=chain.moduli[start:stop],
+        q=chain.q[start:stop],
+        qinv=chain.qinv[start:stop],
+        r2=chain.r2[start:stop],
+        rmod=chain.rmod[start:stop],
+        one_mont=chain.one_mont[start:stop],
+    )
+
+
+# ── Host <-> device conversion ───────────────────────────────────────────────
+
+
+def encode_coeffs_to_device(coeffs, ctx: CkksContext) -> jnp.ndarray:
+    """Signed integer coefficients (exact) -> Montgomery residues on device.
+
+    Parity: RnsPoly::from_coeffs (reference poly.rs:49-67) — rem_euclid per
+    channel — plus the Montgomery conversion that is our storage format.
+    """
+    coeffs = np.asarray(coeffs, dtype=object)
+    if coeffs.shape[-1] != ctx.degree:
+        raise ValueError(
+            f"expected {ctx.degree} coefficients, got {coeffs.shape[-1]}"
+        )
+    res = np.empty((ctx.num_channels,) + coeffs.shape, dtype=object)
+    for i, q in enumerate(ctx.moduli):
+        res[i] = coeffs % q
+    packed = jnp.asarray(mm.pack_residues(res))
+    return mm.to_mont(packed, ctx.chain)
+
+
+def decode_device_to_coeffs(data, ctx: CkksContext) -> np.ndarray:
+    """Montgomery residues (coeff domain) -> centered exact ints (host).
+
+    CRT reconstruction is exact with arbitrary-precision ints — no u128
+    ceiling (the reference requires Q < 2^128, basis.rs:153-157).
+    """
+    plain = np.asarray(mm.from_mont(data, ctx.chain))
+    residues = mm.unpack_residues(plain)
+    return reconstruct_centered(residues, list(ctx.moduli))
+
+
+# ── Poly wrapper ─────────────────────────────────────────────────────────────
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Poly:
+    """Immutable RNS polynomial bound to a context.
+
+    ``data``: uint32 (L, 2, N) Montgomery-form residues.
+    ``ntt_domain``: True when data is in NTT (tree) order.
+    """
+
+    data: jnp.ndarray
+    ctx: CkksContext
+    ntt_domain: bool
+
+    # ── constructors ─────────────────────────────────────────────────────
+
+    @staticmethod
+    def zero(ctx: CkksContext, ntt_domain: bool = False) -> "Poly":
+        shape = (ctx.num_channels, 2, ctx.degree)
+        return Poly(jnp.zeros(shape, dtype=jnp.uint32), ctx, ntt_domain)
+
+    @staticmethod
+    def from_coeffs(coeffs, ctx: CkksContext) -> "Poly":
+        return Poly(encode_coeffs_to_device(coeffs, ctx), ctx, False)
+
+    @staticmethod
+    def from_residues(residues, ctx: CkksContext, ntt_domain: bool = False) -> "Poly":
+        """Plain (non-Montgomery) residue matrix (L, N) -> Poly."""
+        packed = jnp.asarray(mm.pack_residues(np.asarray(residues, dtype=object)))
+        return Poly(mm.to_mont(packed, ctx.chain), ctx, ntt_domain)
+
+    # ── samplers (host RNG; deterministic via seeded numpy Generator) ────
+
+    @staticmethod
+    def sample_uniform(ctx: CkksContext, rng: np.random.Generator) -> "Poly":
+        res = np.empty((ctx.num_channels, ctx.degree), dtype=object)
+        for i, q in enumerate(ctx.moduli):
+            res[i] = sampling.uniform_coefficients(ctx.degree, q, rng).astype(object)
+        return Poly.from_residues(res, ctx)
+
+    @staticmethod
+    def sample_gaussian(
+        ctx: CkksContext, std_dev: float, rng: np.random.Generator
+    ) -> "Poly":
+        coeffs = sampling.gaussian_coefficients(ctx.degree, std_dev, rng)
+        return Poly.from_coeffs(coeffs.astype(object), ctx)
+
+    @staticmethod
+    def sample_tribits(
+        ctx: CkksContext, hamming_weight: int, rng: np.random.Generator
+    ) -> "Poly":
+        coeffs = sampling.ternary_coefficients(ctx.degree, hamming_weight, rng)
+        return Poly.from_coeffs(coeffs.astype(object), ctx)
+
+    # ── domain conversion ────────────────────────────────────────────────
+
+    def to_ntt_domain(self) -> "Poly":
+        if self.ntt_domain:
+            return self
+        return Poly(to_ntt(self.data, self.ctx), self.ctx, True)
+
+    def to_coeff_domain(self) -> "Poly":
+        if not self.ntt_domain:
+            return self
+        return Poly(to_coeff(self.data, self.ctx), self.ctx, False)
+
+    # ── arithmetic ───────────────────────────────────────────────────────
+
+    def _check(self, other: "Poly"):
+        if self.ctx is not other.ctx:
+            if self.ctx.moduli != other.ctx.moduli or self.ctx.degree != other.ctx.degree:
+                raise ValueError("Poly context mismatch")
+        if self.ntt_domain != other.ntt_domain:
+            raise ValueError("Poly domain mismatch")
+
+    def __add__(self, other: "Poly") -> "Poly":
+        self._check(other)
+        return Poly(add(self.data, other.data, self.ctx), self.ctx, self.ntt_domain)
+
+    def __sub__(self, other: "Poly") -> "Poly":
+        self._check(other)
+        return Poly(sub(self.data, other.data, self.ctx), self.ctx, self.ntt_domain)
+
+    def __neg__(self) -> "Poly":
+        return Poly(neg(self.data, self.ctx), self.ctx, self.ntt_domain)
+
+    def __mul__(self, other: "Poly") -> "Poly":
+        """Negacyclic polynomial product.
+
+        NTT-domain operands multiply pointwise (O(N L)); coefficient-domain
+        operands are transformed, multiplied, and transformed back — same
+        dual behavior as the reference MulAssign (poly.rs:277-330).
+        """
+        self._check(other)
+        if self.ntt_domain:
+            return Poly(
+                mul_pointwise(self.data, other.data, self.ctx), self.ctx, True
+            )
+        a = to_ntt(self.data, self.ctx)
+        b = to_ntt(other.data, self.ctx)
+        c = mul_pointwise(a, b, self.ctx)
+        return Poly(to_coeff(c, self.ctx), self.ctx, False)
+
+    # ── level ops ────────────────────────────────────────────────────────
+
+    def rescale(self) -> "Poly":
+        coeff = self.to_coeff_domain()
+        child_ctx = self.ctx.drop_last(1)
+        return Poly(rescale(coeff.data, self.ctx), child_ctx, False)
+
+    def mod_drop_last(self, count: int = 1) -> "Poly":
+        child_ctx = self.ctx.drop_last(count)
+        return Poly(mod_drop_last(self.data, count), child_ctx, self.ntt_domain)
+
+    # ── automorphisms ────────────────────────────────────────────────────
+
+    def automorphism(self, exponent: int) -> "Poly":
+        two_n = 2 * self.ctx.degree
+        e = exponent % two_n
+        if e == 1:
+            return self.to_coeff_domain()
+        coeff = self.to_coeff_domain()
+        src, negate = self.ctx.automorphism_table(e)
+        return Poly(
+            automorphism(coeff.data, src, negate, self.ctx), self.ctx, False
+        )
+
+    def rotate_slots(self, k: int) -> "Poly":
+        """Rotate plaintext slots by k (root-5 automorphism; negative k uses
+        the conjugate map, parity with reference poly.rs:543-569)."""
+        two_n = 2 * self.ctx.degree
+        exponent = pow(5, abs(k), two_n)
+        rotated = self.automorphism(exponent)
+        if k >= 0:
+            return rotated
+        return rotated.automorphism(two_n - 1)
+
+    # ── export ───────────────────────────────────────────────────────────
+
+    def to_coeffs(self) -> np.ndarray:
+        """Centered exact integer coefficients (host, object array)."""
+        coeff = self.to_coeff_domain()
+        return decode_device_to_coeffs(coeff.data, self.ctx)
+
+    def residues(self) -> np.ndarray:
+        """Plain (non-Montgomery) residues as an exact (L, N) object array."""
+        plain = np.asarray(mm.from_mont(self.data, self.ctx.chain))
+        return mm.unpack_residues(plain)
