@@ -1,0 +1,84 @@
+"""CKKS encoder/decoder: float slot values <-> RNS plaintext polynomials.
+
+Parity with the reference encoder (reference: src/encoding/ckks_encoder.rs:
+32-157): encode scales by Delta = 2^scale_bits, builds the conjugate-
+symmetric slot vector, applies the inverse canonical embedding, rounds the
+(real) coefficients to integers and CRT-encodes them; decode CRT-
+reconstructs centered coefficients, applies the forward embedding and
+unscales by the *plaintext's own* scale_bits. At most N/2 values.
+
+Encode/decode are host-side (client-side in FHE terms): the embedding runs
+in float64 (TPUs have no f64) and the CRT step is exact big-int math. The
+embedding itself is the O(N log N) FFT path, not the reference's O(N^2)
+Vandermonde loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..context import CkksContext
+from ..ops.poly import Poly
+from ..types import Plaintext
+from .embedding import build_conjugate_slots, embed_decode, embed_encode
+
+
+class CkksEncoder:
+    def __init__(self, degree: int, scale_bits: int):
+        if degree & (degree - 1) or degree < 2:
+            raise ValueError("CkksEncoder: degree must be a power of two")
+        if scale_bits <= 0:
+            raise ValueError("CkksEncoder: scale_bits must be positive")
+        self.degree = degree
+        self.scale_bits = scale_bits
+
+    @property
+    def scale_factor(self) -> float:
+        return float(2.0 ** self.scale_bits)
+
+    @property
+    def max_slots(self) -> int:
+        return self.degree // 2
+
+    # ── encoding ─────────────────────────────────────────────────────────
+
+    def encode(self, values, ctx: CkksContext) -> Plaintext:
+        """Encode real values (one per complex slot, imaginary = 0)."""
+        values = np.asarray(values, dtype=np.float64)
+        return self._encode_inner(
+            values.astype(np.complex128) * self.scale_factor, len(values), ctx
+        )
+
+    def encode_complex(self, values, ctx: CkksContext) -> Plaintext:
+        values = np.asarray(values, dtype=np.complex128)
+        return self._encode_inner(values * self.scale_factor, len(values), ctx)
+
+    def _encode_inner(self, scaled, slots: int, ctx: CkksContext) -> Plaintext:
+        if len(scaled) > self.max_slots:
+            raise ValueError(
+                f"encode: {len(scaled)} values exceed max slots {self.max_slots}"
+            )
+        if ctx.degree != self.degree:
+            raise ValueError("encode: context degree mismatch")
+        slot_vec = build_conjugate_slots(scaled, self.degree)
+        coeffs = embed_encode(slot_vec, self.degree)
+        int_coeffs = np.array(
+            [int(c) for c in np.round(coeffs.real)], dtype=object
+        )
+        return Plaintext(
+            poly=Poly.from_coeffs(int_coeffs, ctx),
+            scale_bits=self.scale_bits,
+            slots=slots,
+        )
+
+    # ── decoding ─────────────────────────────────────────────────────────
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        return self.decode_complex(pt).real
+
+    def decode_complex(self, pt: Plaintext) -> np.ndarray:
+        delta = float(2.0 ** pt.scale_bits)
+        int_coeffs = pt.poly.to_coeffs()  # exact centered big ints
+        c = np.asarray([float(x) for x in int_coeffs], dtype=np.float64)
+        slot_vec = embed_decode(c, self.degree)
+        return slot_vec[: pt.slots] / delta
