@@ -82,25 +82,29 @@ def test_rotation_key_relation(setup):
 
 
 def test_gadget_relin_key_relation(setup):
-    # Per digit i: b_i + a_i*s = e_i*s^2 + err, where e_i is the CRT
-    # indicator of channel i (reference engine.rs:206-228).
+    # Hybrid gadget: per digit i over the raised modulus QP,
+    # b_i + a_i*s = P*e_i*s^2 + err, where e_i is the CRT indicator of
+    # channel i (reference engine.rs:206-228 extended with the special
+    # prime per specs/parameters.md).
     ctx, engine = setup
     rng = make_rng(4)
     sk = engine.generate_secret_key(rng)
     rlk = engine.generate_gadget_relin_key(sk, rng)
+    ext_ctx = rlk.ext_ctx
+    s_ext = sk.extend_to(ext_ctx)
     s_sq_coeff = (sk.poly * sk.poly).to_coeff_domain().residues()  # (L, N)
 
     from toy_heaan_ckks_tpu.ops.poly import Poly
 
     L = ctx.num_channels
     for i in range(L):
-        b_i = Poly(rlk.b[i], ctx, True)
-        a_i = Poly(rlk.a[i], ctx, True)
-        diff = (b_i + a_i * sk.poly).to_coeff_domain()
-        want = np.zeros((L, DEGREE), dtype=object)
-        want[i] = s_sq_coeff[i]
-        target = Poly.from_residues(want, ctx, ntt_domain=False)
-        # residual = (b_i + a_i s) - e_i*s^2 must have small coefficients
+        b_i = Poly(rlk.b[i], ext_ctx, True)
+        a_i = Poly(rlk.a[i], ext_ctx, True)
+        diff = (b_i + a_i * s_ext).to_coeff_domain()
+        want = np.zeros((L + 1, DEGREE), dtype=object)
+        want[i] = (s_sq_coeff[i] * (rlk.special % ctx.moduli[i])) % ctx.moduli[i]
+        target = Poly.from_residues(want, ext_ctx, ntt_domain=False)
+        # residual = (b_i + a_i s) - P*e_i*s^2 must have small coefficients
         residual = (diff - target).to_coeffs()
         assert max(abs(int(x)) for x in residual) < np.sqrt(3.2) * 10, i
 

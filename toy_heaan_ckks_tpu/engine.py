@@ -52,12 +52,12 @@ class CkksParams:
     scale_bits: int = 30
 
 
-def _mod_sum(stack: jnp.ndarray, ctx: CkksContext) -> jnp.ndarray:
+def _mod_sum(stack: jnp.ndarray, chain) -> jnp.ndarray:
     """Modular tree-reduction over the leading (digit) axis."""
     n = stack.shape[0]
     while n > 1:
         half = n // 2
-        paired = mm.add_mod(stack[:half], stack[half : 2 * half], ctx.chain)
+        paired = mm.add_mod(stack[:half], stack[half : 2 * half], chain)
         if n % 2:
             paired = jnp.concatenate([paired, stack[2 * half :]], axis=0)
         stack = paired
@@ -66,28 +66,34 @@ def _mod_sum(stack: jnp.ndarray, ctx: CkksContext) -> jnp.ndarray:
 
 
 @jax.jit
-def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext):
-    """RNS gadget key switch of an NTT-domain poly ``d``.
+def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext):
+    """Hybrid RNS gadget key switch of an NTT-domain poly ``d`` over Q.
 
     alpha_i(d) broadcasts channel i's plain coefficient residues to every
-    channel j reduced mod q_j (reference engine.rs:505-528), then
-    (sum_i alpha_i * b_i, sum_i alpha_i * a_i) is accumulated entirely in
-    NTT domain. Decomposition is exact on plain residues, so it must pass
-    through coefficient domain once (1 inverse + L forward batched NTTs).
+    channel of the *raised* modulus QP (the reference's decomposition,
+    engine.rs:505-528, extended with the special prime); the digit inner
+    products (sum_i alpha_i * b_i, sum_i alpha_i * a_i) accumulate in NTT
+    domain over QP and are then exactly divided by P (one RNS rescale),
+    shrinking key-switch noise by 1/P. Costs 1+2 inverse + (L+2) forward
+    batched NTT passes, all fused under one jit.
     """
     L = d_ntt.shape[-3]
     d_coeff = pops.to_coeff(d_ntt, ctx)
     plain = mm.from_mont(d_coeff, ctx.chain)
-    alpha_plain = jnp.broadcast_to(plain[:, None], (L,) + plain.shape)
-    alpha = mm.to_mont(alpha_plain, ctx.chain)  # Mont_j(d_i mod q_j)
-    alpha_ntt = pops.to_ntt(alpha, ctx)
-    ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ctx.chain), ctx)
-    ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ctx.chain), ctx)
-    return ks0, ks1
+    ext_shape = (L, L + 1) + plain.shape[-2:]
+    alpha_plain = jnp.broadcast_to(plain[:, None], ext_shape)
+    alpha = mm.to_mont(alpha_plain, ext_ctx.chain)  # Mont_j(d_i mod q_j)
+    alpha_ntt = pops.to_ntt(alpha, ext_ctx)
+    ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ext_ctx.chain), ext_ctx.chain)
+    ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ext_ctx.chain), ext_ctx.chain)
+    # divide by the special prime: QP -> Q, exact RNS rescale
+    ks0 = pops.rescale(pops.to_coeff(ks0, ext_ctx), ext_ctx)
+    ks1 = pops.rescale(pops.to_coeff(ks1, ext_ctx), ext_ctx)
+    return pops.to_ntt(ks0, ctx), pops.to_ntt(ks1, ctx)
 
 
 @jax.jit
-def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext):
+def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext):
     """Fused tensor product + gadget relinearization (all NTT domain)."""
     t0 = mm.mont_mul(c0, d0, ctx.chain)
     t1 = mm.add_mod(
@@ -96,7 +102,7 @@ def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext):
         ctx.chain,
     )
     t2 = mm.mont_mul(c1, d1, ctx.chain)
-    ks0, ks1 = _gadget_key_switch(t2, key_a, key_b, ctx)
+    ks0, ks1 = _gadget_key_switch(t2, key_a, key_b, ctx, ext_ctx)
     return mm.add_mod(t0, ks0, ctx.chain), mm.add_mod(t1, ks1, ctx.chain)
 
 
@@ -256,6 +262,7 @@ class CkksEngine:
             rlk.a,
             rlk.b,
             ctx,
+            rlk.ext_ctx,
         )
         return Ciphertext(
             c0=Poly(c0, ctx, True),
@@ -293,7 +300,7 @@ class CkksEngine:
         c0_rot = ct.c0.rotate_slots(rotk.rotation)
         c1_rot = ct.c1.rotate_slots(rotk.rotation)
         ks0, ks1 = _gadget_key_switch(
-            c1_rot.to_ntt_domain().data, rotk.a, rotk.b, ctx
+            c1_rot.to_ntt_domain().data, rotk.a, rotk.b, ctx, rotk.ext_ctx
         )
         c0_new = c0_rot.to_ntt_domain() + Poly(ks0, ctx, True)
         return Ciphertext(

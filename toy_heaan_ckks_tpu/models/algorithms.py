@@ -1,0 +1,170 @@
+"""Homomorphic slot algorithms: rotation trees, Horner evaluation, sqrt.
+
+These are the "model"-level pipelines the reference plans in its specs and
+examples (reference: specs/ctx.md "What needs to be built" items 1-5,
+examples/std_dev_8.rs, examples/horner_chain.rs):
+
+- ``sum_slots``: binary rotation tree — after log2(slots) rotations every
+  slot holds the sum of all slots.
+- ``align_level``: bring a fresh ciphertext down to a target level by a
+  noise-free multiply-by-1.0 + rescale (the level/scale alignment the specs
+  call for before subtraction; the reference instead re-encrypts fresh
+  operands per level).
+- ``eval_poly_horner``: generic Horner polynomial evaluation, one
+  ct x ct multiply + rescale per degree.
+- ``poly_sqrt``: degree-3 polynomial approximation of sqrt on [0, 0.25]
+  (least-squares fit, the "direct Chebyshev" pragmatic choice of
+  specs/ctx.md item 5).
+- ``encrypted_std_dev``: the full sensor std-dev pipeline
+  (sum -> mean -> center -> square -> variance -> sqrt).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..engine import CkksEngine, CkksParams
+from ..keys import KeyLadder
+from ..types import Ciphertext
+
+
+def sum_slots(ct: Ciphertext, ladder: KeyLadder, slots: int) -> Ciphertext:
+    """Binary rotation tree: every slot ends up holding sum(all slots).
+
+    Needs rotation keys for offsets 1, 2, 4, ..., slots/2 at ct's level
+    (specs/ctx.md item 3). Level-free.
+    """
+    if slots & (slots - 1):
+        raise ValueError("sum_slots: slots must be a power of two")
+    keys = ladder.at_level(ct.level)
+    acc = ct
+    offset = 1
+    while offset < slots:
+        rotated = CkksEngine.rotate_ciphertext(acc, keys.rot[offset])
+        acc = CkksEngine.add_ciphertexts(acc, rotated)
+        offset *= 2
+    return acc
+
+
+def align_level(
+    engine: CkksEngine, ct: Ciphertext, target_level: int
+) -> Ciphertext:
+    """Drop ``ct`` to ``target_level`` by multiply-by-1.0 + rescale steps.
+
+    Each step consumes one prime exactly like the path the other operand
+    took, so logp/logq bookkeeping matches for subsequent add/sub (requires
+    the SCALE = prime-bit-width rule, reference tests/integration_mul.rs:
+    6-14)."""
+    acc = ct
+    while acc.level > target_level:
+        acc = CkksEngine.rescale_ciphertext(engine.mul_plain_scalar(acc, 1.0))
+    return acc
+
+
+def eval_poly_horner(
+    ladder: KeyLadder,
+    params: CkksParams,
+    ct: Ciphertext,
+    coeffs: list[float],
+) -> Ciphertext:
+    """Evaluate a_0 + a_1 x + ... + a_d x^d on an encrypted x via Horner.
+
+    Consumes d levels (one ct x ct multiply + rescale per step, with the
+    plain coefficient folded in as a constant-polynomial addition); parity
+    with specs/ctx.md item 4. ``coeffs[k]`` multiplies x^k.
+    """
+    coeffs = [float(c) for c in coeffs]
+    d = len(coeffs) - 1
+    if d < 1:
+        raise ValueError("eval_poly_horner: need degree >= 1")
+
+    def engine_at(level):
+        return CkksEngine(ladder.at_level(level).ctx, params)
+
+    # r = a_d * x + a_{d-1}
+    eng = engine_at(ct.level)
+    r = CkksEngine.rescale_ciphertext(eng.mul_plain_scalar(ct, coeffs[d]))
+    r = _add_const(engine_at(r.level), r, coeffs[d - 1])
+    x = ct
+    for k in range(d - 2, -1, -1):
+        x = align_level(engine_at(x.level), x, r.level)
+        rlk = ladder.at_level(r.level).rlk
+        r = CkksEngine.rescale_ciphertext(
+            CkksEngine.mul_ciphertexts_gadget(r, x, rlk)
+        )
+        r = _add_const(engine_at(r.level), r, coeffs[k])
+    return r
+
+
+def _add_const(engine: CkksEngine, ct: Ciphertext, value: float) -> Ciphertext:
+    """Add a plain constant to every slot (constant-poly plaintext)."""
+    from ..ops.poly import Poly
+    from ..types import Plaintext
+
+    ctx = ct.ctx
+    coeffs = np.zeros(ctx.degree, dtype=object)
+    coeffs[0] = int(round(value * 2.0**ct.logp))
+    pt = Plaintext(
+        poly=Poly.from_coeffs(coeffs, ctx), scale_bits=ct.logp,
+        slots=ctx.degree // 2,
+    )
+    return CkksEngine.add_plain(ct, pt)
+
+
+@functools.lru_cache(maxsize=8)
+def sqrt_poly_coeffs(degree: int = 3, lo: float = 0.0, hi: float = 0.25):
+    """Least-squares polynomial fit of sqrt(x) on [lo, hi].
+
+    Degree 3 fits the std-dev level budget (2 multiplies via Horner);
+    singular sqrt'(0) makes near-zero variance less accurate — acceptable
+    per specs/ctx.md item 5.
+    """
+    x = np.linspace(lo + 1e-6, hi, 2048)
+    fit = np.polynomial.chebyshev.Chebyshev.fit(x, np.sqrt(x), degree)
+    return tuple(fit.convert(kind=np.polynomial.Polynomial).coef)
+
+
+def encrypted_std_dev(
+    ladder: KeyLadder,
+    params: CkksParams,
+    ct: Ciphertext,
+    slots: int,
+) -> Ciphertext:
+    """Homomorphic standard deviation over ``slots`` values in one ct.
+
+    Pipeline (specs/ctx.md): sum_slots -> mean -> center -> square ->
+    variance -> polynomial sqrt. Requires inputs normalised to [0, 1] so
+    variance lies in [0, 0.25]. Consumes 3 + deg(sqrt)-1 levels.
+    """
+
+    def engine_at(level):
+        return CkksEngine(ladder.at_level(level).ctx, params)
+
+    # mean in every slot
+    sum_ct = sum_slots(ct, ladder, slots)
+    mean = CkksEngine.rescale_ciphertext(
+        engine_at(sum_ct.level).mul_plain_scalar(sum_ct, 1.0 / slots)
+    )
+
+    # center the original
+    x = align_level(engine_at(ct.level), ct, mean.level)
+    centered = CkksEngine.sub_ciphertexts(x, mean)
+
+    # squared deviations
+    rlk = ladder.at_level(centered.level).rlk
+    sq = CkksEngine.rescale_ciphertext(
+        CkksEngine.mul_ciphertexts_gadget(centered, centered, rlk)
+    )
+
+    # variance in every slot
+    sq_sum = sum_slots(sq, ladder, slots)
+    variance = CkksEngine.rescale_ciphertext(
+        engine_at(sq_sum.level).mul_plain_scalar(sq_sum, 1.0 / slots)
+    )
+
+    # sqrt via degree-3 polynomial
+    return eval_poly_horner(
+        ladder, params, variance, list(sqrt_poly_coeffs())
+    )

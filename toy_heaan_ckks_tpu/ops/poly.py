@@ -274,14 +274,24 @@ class Poly:
         )
 
     def rotate_slots(self, k: int) -> "Poly":
-        """Rotate plaintext slots by k (root-5 automorphism; negative k uses
-        the conjugate map, parity with reference poly.rs:543-569)."""
+        """Rotate plaintext slots left by k via the root-5 automorphism
+        X -> X^{5^k mod 2N} (reference poly.rs:543-569 for k >= 0).
+
+        Negative k is the exact inverse rotation: since ord(5) = N/2 mod 2N
+        and there are N/2 slots, k is reduced mod N/2 so 5^k is always the
+        true inverse power. (Departure: the reference composes the positive
+        automorphism with conjugation for k < 0, a path its own tests only
+        check for "does not panic" — poly.rs:932-942; that composition does
+        not implement inverse rotation, so we use the correct one.)
+        """
+        half = self.ctx.degree // 2
         two_n = 2 * self.ctx.degree
-        exponent = pow(5, abs(k), two_n)
-        rotated = self.automorphism(exponent)
-        if k >= 0:
-            return rotated
-        return rotated.automorphism(two_n - 1)
+        exponent = pow(5, k % half, two_n)
+        return self.automorphism(exponent)
+
+    def conjugate(self) -> "Poly":
+        """Complex-conjugate the slots: X -> X^{2N-1}."""
+        return self.automorphism(2 * self.ctx.degree - 1)
 
     # ── export ───────────────────────────────────────────────────────────
 
