@@ -1,0 +1,152 @@
+"""Benchmark: ciphertext-ciphertext multiplies (relin+rescale)/sec/chip.
+
+The north-star metric from BASELINE.json, measured at N = 2^14 with an
+8-prime (31-bit) chain and hybrid gadget relinearization, on whatever
+accelerator JAX selects (the driver runs this on one real TPU chip).
+
+The reference (oiwn/toy-heaan-ckks) publishes no throughput numbers
+(BASELINE.md), so ``vs_baseline`` reports speedup vs this same exact
+workload executed on one CPU host thread pool via XLA:CPU — a strong
+single-host native proxy measured on this machine (cached in
+.bench_cpu_baseline.json after the first run).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "mults/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEGREE = 1 << 14
+NUM_PRIMES = 8
+PRIME_BITS = 31
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+
+_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cpu_baseline.json")
+
+
+def _measure(batch: int, iters: int, warmup: int) -> float:
+    """Seconds per single mult(relin+rescale), amortised over the batch."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    import jax.numpy as jnp
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext,
+        CkksEngine,
+        CkksParams,
+        generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    from toy_heaan_ckks_tpu.parallel.sharded import _mul_relin_rescale_arrays
+
+    primes = generate_primes(PRIME_BITS, NUM_PRIMES, DEGREE)
+    ctx = CkksContext.build(primes, DEGREE)
+    engine = CkksEngine(ctx, CkksParams(3.2, DEGREE // 2, PRIME_BITS))
+    rng = make_rng(7)
+    sk = engine.generate_secret_key(rng)
+    rlk = engine.generate_gadget_relin_key(sk, rng)
+    child = ctx.drop_last(1)
+
+    def rand_ct(seed):
+        r = make_rng(seed)
+        return jnp.stack(
+            [
+                Poly.sample_uniform(ctx, r).to_ntt_domain().data
+                for _ in range(batch)
+            ]
+        )
+
+    c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
+
+    fn = __import__("jax").jit(
+        lambda a, b, c, d: _mul_relin_rescale_arrays(
+            a, b, c, d, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
+        )
+    )
+
+    for _ in range(warmup):
+        out = fn(c0a, c1a, c0b, c1b)
+    out[0].block_until_ready()
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(c0a, c1a, c0b, c1b)
+    out[0].block_until_ready()
+    return (time.time() - t0) / (iters * batch)
+
+
+def _cpu_baseline_sec_per_mult() -> float | None:
+    if os.path.exists(_CPU_CACHE):
+        try:
+            with open(_CPU_CACHE) as f:
+                return float(json.load(f)["sec_per_mult"])
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_CPU_MODE"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        val = float(out.stdout.strip().splitlines()[-1])
+        with open(_CPU_CACHE, "w") as f:
+            json.dump({"sec_per_mult": val}, f)
+        return val
+    except Exception:
+        return None
+
+
+def main():
+    if os.environ.get("BENCH_CPU_MODE"):
+        # subprocess mode: measure on CPU with few iterations, print number
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print(_measure(batch=1, iters=2, warmup=1))
+        return
+
+    sec = _measure(batch=BATCH, iters=ITERS, warmup=WARMUP)
+    mults_per_sec = 1.0 / sec
+
+    cpu_sec = _cpu_baseline_sec_per_mult()
+    vs_baseline = (cpu_sec / sec) if cpu_sec else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"ct-ct mults (relin+rescale)/sec/chip @ N=2^14, "
+                    f"L={NUM_PRIMES}x{PRIME_BITS}b, batch={BATCH}"
+                ),
+                "value": round(mults_per_sec, 2),
+                "unit": "mults/s/chip",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,20 +2,25 @@
 
 Multi-chip sharding is validated on a virtual CPU mesh (the driver dry-runs
 the real multi-chip path separately via __graft_entry__.dryrun_multichip).
-Must run before jax is imported anywhere.
+
+Note: the environment pre-imports jax (sitecustomize) with JAX_PLATFORMS
+pointing at the TPU plugin, so the platform must be overridden through
+jax.config *after* import; XLA_FLAGS still applies because the backend is
+only initialised on first use.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,112 @@
+"""Sharded + batched homomorphic step functions.
+
+Builds jitted, GSPMD-sharded versions of the engine's core composites:
+batched ct x ct multiply with gadget relinearization and rescale, and
+batched rotation. The batch axis is data parallelism; the RNS channel axis
+is tensor parallelism. XLA inserts the collectives (an all-gather of the
+plain d2 residues for the gadget decomposition; a broadcast of the dropped
+channel for rescale) over ICI.
+
+Bit-exactness: sharded execution performs the same exact integer
+arithmetic, so residues match the single-device run bit-for-bit — the gate
+required by SURVEY.md §7 stage 10.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..context import CkksContext
+from ..engine import _gadget_key_switch, _mul_gadget_core
+from ..ops import poly as pops
+from .mesh import ct_spec, key_spec
+
+__all__ = ["build_mul_relin_rescale", "build_rotate", "batched_mul_relin_rescale"]
+
+
+def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
+                              ctx: CkksContext, ext_ctx: CkksContext,
+                              child_ctx: CkksContext):
+    """One fused (batched) multiply + relinearize + rescale on raw arrays.
+
+    Input/output: uint32 (B, L, 2, N) NTT-domain Montgomery residues
+    (output has L-1 channels).
+    """
+    core = functools.partial(
+        _mul_gadget_core, key_a=key_a, key_b=key_b, ctx=ctx, ext_ctx=ext_ctx
+    )
+    t0, t1 = jax.vmap(lambda a0, a1, b0, b1: core(a0, a1, b0, b1))(
+        c0a, c1a, c0b, c1b
+    )
+
+    def rs(x):
+        return pops.to_ntt(
+            pops.rescale(pops.to_coeff(x, ctx), ctx), child_ctx
+        )
+
+    return jax.vmap(rs)(t0), jax.vmap(rs)(t1)
+
+
+def batched_mul_relin_rescale(ct_batch_a, ct_batch_b, rlk, ctx, child_ctx):
+    """Convenience unsharded batched step (for tests and the benchmark)."""
+    return _mul_relin_rescale_arrays(
+        *ct_batch_a, *ct_batch_b, rlk.a, rlk.b, ctx, rlk.ext_ctx, child_ctx
+    )
+
+
+def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext):
+    """Jitted sharded batched multiply+relin+rescale over a (batch, channel)
+    mesh. Returns fn(c0a, c1a, c0b, c1b, key_a, key_b) -> (c0, c1)."""
+    child_ctx = ctx.drop_last(1)
+    data_s = ct_spec(mesh)
+    key_s = key_spec(mesh)
+
+    fn = functools.partial(
+        _mul_relin_rescale_arrays,
+        ctx=ctx,
+        ext_ctx=ext_ctx,
+        child_ctx=child_ctx,
+    )
+    # out_shardings left to XLA: the rescaled output has L-1 channels,
+    # which need not divide the channel axis; GSPMD picks the layout.
+    return jax.jit(
+        fn,
+        in_shardings=(data_s, data_s, data_s, data_s, key_s, key_s),
+    )
+
+
+def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext,
+                 src, negate):
+    """Jitted sharded batched rotation (automorphism + gadget key switch).
+
+    ``src``/``negate``: host-precomputed automorphism gather table for the
+    key's rotation offset (ctx.automorphism_table(5^k mod 2N)).
+    """
+    data_s = ct_spec(mesh)
+    key_s = key_spec(mesh)
+
+    def rot_one(c0, c1, key_a, key_b):
+        c0_rot = pops.to_ntt(
+            pops.automorphism(pops.to_coeff(c0, ctx), src, negate, ctx), ctx
+        )
+        c1_rot = pops.to_ntt(
+            pops.automorphism(pops.to_coeff(c1, ctx), src, negate, ctx), ctx
+        )
+        ks0, ks1 = _gadget_key_switch(c1_rot, key_a, key_b, ctx, ext_ctx)
+        from ..ops import modular as mm
+
+        return mm.add_mod(c0_rot, ks0, ctx.chain), ks1
+
+    def fn(c0, c1, key_a, key_b):
+        return jax.vmap(
+            lambda a, b: rot_one(a, b, key_a, key_b)
+        )(c0, c1)
+
+    return jax.jit(
+        fn,
+        in_shardings=(data_s, data_s, key_s, key_s),
+        out_shardings=(data_s, data_s),
+    )
