@@ -90,9 +90,11 @@ def test_mont_mul_and_modops(rng, bits):
     am = mm.to_mont(a, chain)
     back = mm.unpack_residues(np.asarray(mm.from_mont(am, chain)))
     assert (back == a_plain).all()
-    # to_mont is x * R mod q
+    # to_mont is x * R mod q (R = 2^32 on the small fast path)
+    radix = 1 << chain.radix_bits
+    assert chain.small == (bits <= 31)
     am_val = mm.unpack_residues(np.asarray(am))
-    assert (am_val == (a_plain * ((1 << 64) % q_arr[:, None])) % q_arr[:, None]).all()
+    assert (am_val == (a_plain * (radix % q_arr[:, None])) % q_arr[:, None]).all()
 
     # mont_mul in Montgomery domain == plain product
     bm = mm.to_mont(b, chain)

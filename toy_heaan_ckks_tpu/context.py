@@ -24,7 +24,7 @@ from .ops.ntt import NttTables
 jax.tree_util.register_dataclass(
     ModulusChain,
     data_fields=["q", "qinv", "r2", "rmod", "one_mont"],
-    meta_fields=["moduli"],
+    meta_fields=["moduli", "small"],
 )
 
 jax.tree_util.register_dataclass(
@@ -34,9 +34,11 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _mont_pack(values_per_channel: list[int], moduli: list[int]) -> jnp.ndarray:
+def _mont_pack(
+    values_per_channel: list[int], moduli: list[int], rbits: int
+) -> jnp.ndarray:
     """Per-channel scalars -> (L, 2, 1) uint32 Montgomery-form constants."""
-    vals = [(v << 64) % q for v, q in zip(values_per_channel, moduli)]
+    vals = [(v << rbits) % q for v, q in zip(values_per_channel, moduli)]
     lo = np.array([v & 0xFFFFFFFF for v in vals], dtype=np.uint32)
     hi = np.array([(v >> 32) & 0xFFFFFFFF for v in vals], dtype=np.uint32)
     return jnp.asarray(np.stack([lo, hi], axis=1)[:, :, None])
@@ -62,7 +64,7 @@ class CkksContext:
         if len(moduli) >= 2:
             q_last = moduli[-1]
             inv = [pow(q_last % q, -1, q) for q in moduli[:-1]]
-            qlast_inv = _mont_pack(inv, list(moduli[:-1]))
+            qlast_inv = _mont_pack(inv, list(moduli[:-1]), chain.radix_bits)
         else:
             qlast_inv = jnp.zeros((0, 2, 1), dtype=jnp.uint32)
         return CkksContext(

@@ -159,21 +159,28 @@ class RotationKey:
 
 
 def default_special_prime(ctx: CkksContext) -> int:
-    """Pick an NTT-friendly special prime P >= max(q_i), distinct from the
-    chain, as large as the 63-bit Montgomery budget allows."""
+    """Pick an NTT-friendly special prime P ~ max(q_i), distinct from the
+    chain.
+
+    For "small" chains (all primes < 2^31) P is kept below 2^31 so the
+    raised chain stays on the fast 32-bit Montgomery path; otherwise P gets
+    one extra bit up to the 63-bit Montgomery budget."""
     bits = max(m.bit_length() for m in ctx.moduli)
-    bound = 1 << min(63, bits + 1)
+    if ctx.chain.small:
+        bound, min_bits = 1 << 31, bits
+    else:
+        bound, min_bits = 1 << min(63, bits + 1), bits
     p = get_first_prime_down(bound, ctx.degree)
-    while p is not None and (p in ctx.moduli or p.bit_length() < bits):
+    while p is not None and (p in ctx.moduli or p.bit_length() < min_bits):
         p = get_first_prime_down(p, ctx.degree)
     if p is None:
         raise ValueError("no special prime available for this chain")
     return p
 
 
-def _mont_const_per_channel(values, moduli) -> jnp.ndarray:
+def _mont_const_per_channel(values, moduli, rbits: int) -> jnp.ndarray:
     """Per-channel scalar constants in Montgomery form -> (L, 2, 1)."""
-    vals = [(int(v) << 64) % int(q) for v, q in zip(values, moduli)]
+    vals = [(int(v) << rbits) % int(q) for v, q in zip(values, moduli)]
     lo = np.array([v & 0xFFFFFFFF for v in vals], dtype=np.uint32)
     hi = np.array([(v >> 32) & 0xFFFFFFFF for v in vals], dtype=np.uint32)
     return jnp.asarray(np.stack([lo, hi], axis=1)[:, :, None])
@@ -201,7 +208,7 @@ def _gadget_pairs(
 
     # (P mod q_j) * t_j on the base channels, in Montgomery form
     p_mod = _mont_const_per_channel(
-        [special % q for q in ctx.moduli], ctx.moduli
+        [special % q for q in ctx.moduli], ctx.moduli, ctx.chain.radix_bits
     )
     t_ntt = target.to_ntt_domain().data  # (L, 2, N)
     t_scaled = mm.mont_mul(t_ntt, p_mod, ctx.chain)

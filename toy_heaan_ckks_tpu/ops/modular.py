@@ -33,6 +33,7 @@ from .u64 import (
     mullo64,
     select64,
     sub64,
+    umul32,
 )
 
 R = 1 << 64
@@ -53,14 +54,20 @@ class ModulusChain:
     broadcast axis against the coefficient dimension N. The chain is part of
     the jittable pytree (constants are traced arrays, so one compiled program
     serves any chain of the same length).
+
+    Two Montgomery radices are supported, selected statically per chain:
+    - R = 2^64 (generic, any primes < 2^63)
+    - R = 2^32 ("small" fast path when every prime < 2^31): one REDC costs
+      ~9 half-word multiplies instead of ~48, and the hi limbs stay zero.
     """
 
     moduli: tuple[int, ...]  # host-side exact values
     q: jnp.ndarray  # (L, 2, 1) uint32
-    qinv: jnp.ndarray  # -q^{-1} mod 2^64
+    qinv: jnp.ndarray  # -q^{-1} mod R
     r2: jnp.ndarray  # R^2 mod q      (x -> Montgomery form)
-    rmod: jnp.ndarray  # R mod q      (reduce any u64 mod q)
+    rmod: jnp.ndarray  # R mod q      (reduce any value < 2^64 mod q)
     one_mont: jnp.ndarray  # Montgomery form of 1 (= R mod q)
+    small: bool  # True -> R = 2^32 fast path
 
     @staticmethod
     def build(moduli) -> "ModulusChain":
@@ -68,9 +75,11 @@ class ModulusChain:
         for m in moduli:
             if m % 2 == 0 or m >= (1 << 63):
                 raise ValueError(f"modulus {m} must be odd and < 2^63")
-        qinv = [(-pow(m, -1, R)) % R for m in moduli]
-        r2 = [(R * R) % m for m in moduli]
-        rmod = [R % m for m in moduli]
+        small = all(m < (1 << 31) for m in moduli)
+        radix = (1 << 32) if small else R
+        qinv = [(-pow(m, -1, radix)) % radix for m in moduli]
+        r2 = [(radix * radix) % m for m in moduli]
+        rmod = [radix % m for m in moduli]
 
         def pack(vals):
             lo, hi = _split_u64_np(vals)
@@ -85,7 +94,12 @@ class ModulusChain:
             r2=pack(r2),
             rmod=pack(rmod),
             one_mont=pack(rmod),
+            small=small,
         )
+
+    @property
+    def radix_bits(self) -> int:
+        return 32 if self.small else 64
 
     def __len__(self) -> int:
         return len(self.moduli)
@@ -101,6 +115,7 @@ class ModulusChain:
             r2=self.r2[:keep],
             rmod=self.rmod[:keep],
             one_mont=self.one_mont[:keep],
+            small=self.small,
         )
 
     def total_bits(self) -> int:
@@ -118,12 +133,21 @@ def _stack(pair) -> jnp.ndarray:
     return jnp.stack(pair, axis=-2)
 
 
-def mont_mul_pair(a, b, q, qinv):
+def mont_mul_pair(a, b, q, qinv, small: bool = False):
     """Montgomery product on (lo, hi) pairs: returns a*b*R^{-1} mod q.
 
-    Preconditions: b < q; a < 2^64 (a may exceed q — used for reductions).
-    Output in [0, q).
+    Generic path (R = 2^64): b < q; a < 2^64 (a may exceed q — used for
+    reductions). Small path (R = 2^32, primes < 2^31): both operands must
+    have zero hi limbs (a < 2^32, b < q < 2^31). Output in [0, q).
     """
+    if small:
+        t_lo, t_hi = umul32(a[0], b[0])
+        m = t_lo * qinv[0]  # mod 2^32 (wrapping)
+        mq_lo, mq_hi = umul32(m, q[0])
+        s = add64((t_lo, t_hi), (mq_lo, mq_hi))  # < 2^63 + 2^63: no overflow
+        res = s[1]  # (t + m*q) >> 32, < 2q < 2^32
+        res = jnp.where(res >= q[0], res - q[0], res)
+        return res, jnp.zeros_like(res)
     t = mul64_128(a, b)
     m = mullo64((t[0], t[1]), qinv)
     mq = mul64_128(m, q)
@@ -158,7 +182,9 @@ def neg_mod_pair(a, q):
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, chain: ModulusChain) -> jnp.ndarray:
     return _stack(
-        mont_mul_pair(_pair(a), _pair(b), _pair(chain.q), _pair(chain.qinv))
+        mont_mul_pair(
+            _pair(a), _pair(b), _pair(chain.q), _pair(chain.qinv), chain.small
+        )
     )
 
 
@@ -175,9 +201,15 @@ def neg_mod(a: jnp.ndarray, chain: ModulusChain) -> jnp.ndarray:
 
 
 def to_mont(a: jnp.ndarray, chain: ModulusChain) -> jnp.ndarray:
-    """Plain residues (any u64 value) -> Montgomery form, reduced."""
+    """Plain residues -> Montgomery form, reduced.
+
+    Generic chains accept any u64 input; small chains require inputs with
+    zero hi limbs (always true for residues of <2^31 primes)."""
     return _stack(
-        mont_mul_pair(_pair(a), _pair(chain.r2), _pair(chain.q), _pair(chain.qinv))
+        mont_mul_pair(
+            _pair(a), _pair(chain.r2), _pair(chain.q), _pair(chain.qinv),
+            chain.small,
+        )
     )
 
 
@@ -185,17 +217,28 @@ def from_mont(a: jnp.ndarray, chain: ModulusChain) -> jnp.ndarray:
     """Montgomery form -> plain residues in [0, q)."""
     one = (jnp.ones_like(a[..., 0, :]), jnp.zeros_like(a[..., 1, :]))
     return _stack(
-        mont_mul_pair(_pair(a), one, _pair(chain.q), _pair(chain.qinv))
+        mont_mul_pair(
+            _pair(a), one, _pair(chain.q), _pair(chain.qinv), chain.small
+        )
     )
 
 
 def reduce_u64(a: jnp.ndarray, chain: ModulusChain) -> jnp.ndarray:
     """Reduce arbitrary plain u64 values mod each channel's q (plain out)."""
-    return _stack(
-        mont_mul_pair(
-            _pair(a), _pair(chain.rmod), _pair(chain.q), _pair(chain.qinv)
+    ap = _pair(a)
+    q, qinv = _pair(chain.q), _pair(chain.qinv)
+    if chain.small:
+        # x = hi*2^32 + lo: hi*2^32 mod q = mont32(hi, R^2 mod q),
+        # lo mod q = mont32(lo, R mod q); sum the two.
+        zeros = jnp.zeros_like(ap[0])
+        lo_red = mont_mul_pair(
+            (ap[0], zeros), _pair(chain.rmod), q, qinv, True
         )
-    )
+        hi_red = mont_mul_pair(
+            (ap[1], zeros), _pair(chain.r2), q, qinv, True
+        )
+        return _stack(add_mod_pair(lo_red, hi_red, q))
+    return _stack(mont_mul_pair(ap, _pair(chain.rmod), q, qinv))
 
 
 # ── Host <-> device residue packing ──────────────────────────────────────────

@@ -33,12 +33,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..math.primes import find_primitive_root
-from .modular import ModulusChain, _split_u64_np
-from .u64 import add64, sub64, geq64, select64, mul64_128, mullo64, add128
+from .modular import (
+    ModulusChain,
+    add_mod_pair,
+    mont_mul_pair,
+    sub_mod_pair,
+)
 
 
-def _mont(v: int, q: int) -> int:
-    return (v << 64) % q
+def _mont(v: int, q: int, rbits: int) -> int:
+    return (v << rbits) % q
 
 
 def _pack_stage(values_per_channel: list[list[int]]) -> jnp.ndarray:
@@ -71,7 +75,9 @@ class NttTables:
 
     @staticmethod
     @functools.lru_cache(maxsize=64)
-    def _build_cached(moduli: tuple[int, ...], degree: int) -> "NttTables":
+    def _build_cached(
+        moduli: tuple[int, ...], degree: int, rbits: int
+    ) -> "NttTables":
         two_n = 2 * degree
         psis = tuple(find_primitive_root(q, two_n) for q in moduli)
         stages_e = tree_exponent_stages(degree)
@@ -80,15 +86,15 @@ class NttTables:
         for exps in stages_e:
             fwd_stage, inv_stage = [], []
             for q, psi in zip(moduli, psis):
-                fwd_stage.append([_mont(pow(psi, e, q), q) for e in exps])
+                fwd_stage.append([_mont(pow(psi, e, q), q, rbits) for e in exps])
                 inv_stage.append(
-                    [_mont(pow(psi, two_n - e, q), q) for e in exps]
+                    [_mont(pow(psi, two_n - e, q), q, rbits) for e in exps]
                 )
             fwd.append(_pack_stage(fwd_stage))
             inv.append(_pack_stage(inv_stage))
 
         n_inv = _pack_stage(
-            [[_mont(pow(degree, -1, q), q)] for q in moduli]
+            [[_mont(pow(degree, -1, q), q, rbits)] for q in moduli]
         )
         return NttTables(
             degree=degree,
@@ -107,7 +113,7 @@ class NttTables:
                 raise ValueError(
                     f"modulus {q} is not NTT-friendly for degree {degree}"
                 )
-        return NttTables._build_cached(chain.moduli, degree)
+        return NttTables._build_cached(chain.moduli, degree, chain.radix_bits)
 
     def level(self, num_channels: int) -> "NttTables":
         return NttTables(
@@ -131,26 +137,6 @@ def _qpair(chain: ModulusChain, extra_dims: int):
     return q, qinv
 
 
-def _mont_mul_pair(a, b, q, qinv):
-    t = mul64_128(a, b)
-    m = mullo64((t[0], t[1]), qinv)
-    mq = mul64_128(m, q)
-    s = add128(t, mq)
-    res = (s[2], s[3])
-    return select64(geq64(res, q), sub64(res, q), res)
-
-
-def _add_mod_pair(a, b, q):
-    s = add64(a, b)
-    return select64(geq64(s, q), sub64(s, q), s)
-
-
-def _sub_mod_pair(a, b, q):
-    d = sub64(a, b)
-    dq = add64(d, q)
-    return select64(geq64(a, b), d, dq)
-
-
 def forward_ntt(data: jnp.ndarray, tables: NttTables, chain: ModulusChain):
     """Coefficient domain (natural order) -> NTT domain (tree order).
 
@@ -171,9 +157,9 @@ def forward_ntt(data: jnp.ndarray, tables: NttTables, chain: ModulusChain):
         u = (lo4[..., 0, :], hi4[..., 0, :])
         v_in = (lo4[..., 1, :], hi4[..., 1, :])
         w = (tw[:, 0, :, None], tw[:, 1, :, None])  # (L, m, 1)
-        v = _mont_mul_pair(v_in, w, q, qinv)
-        c0 = _add_mod_pair(u, v, q)
-        c1 = _sub_mod_pair(u, v, q)
+        v = mont_mul_pair(v_in, w, q, qinv, chain.small)
+        c0 = add_mod_pair(u, v, q)
+        c1 = sub_mod_pair(u, v, q)
         lo = jnp.stack([c0[0], c1[0]], axis=-2).reshape(*lead, L, 2 * m, half)
         hi = jnp.stack([c0[1], c1[1]], axis=-2).reshape(*lead, L, 2 * m, half)
         m, t = 2 * m, half
@@ -201,10 +187,10 @@ def inverse_ntt(data: jnp.ndarray, tables: NttTables, chain: ModulusChain):
         hi4 = hi.reshape(*lead, L, m, 2, t)
         c0 = (lo4[..., 0, :], hi4[..., 0, :])
         c1 = (lo4[..., 1, :], hi4[..., 1, :])
-        u = _add_mod_pair(c0, c1, q)
-        d = _sub_mod_pair(c0, c1, q)
+        u = add_mod_pair(c0, c1, q)
+        d = sub_mod_pair(c0, c1, q)
         w = (tw[:, 0, :, None], tw[:, 1, :, None])  # (L, m, 1)
-        v = _mont_mul_pair(d, w, q, qinv)
+        v = mont_mul_pair(d, w, q, qinv, chain.small)
         lo = jnp.concatenate([u[0], v[0]], axis=-1)
         hi = jnp.concatenate([u[1], v[1]], axis=-1)
         t *= 2
@@ -213,5 +199,5 @@ def inverse_ntt(data: jnp.ndarray, tables: NttTables, chain: ModulusChain):
     hi = hi.reshape(*lead, L, n)
     q, qinv = _qpair(chain, 1)
     ninv = (tables.n_inv[:, 0, :], tables.n_inv[:, 1, :])  # (L, 1)
-    res = _mont_mul_pair((lo, hi), ninv, q, qinv)
+    res = mont_mul_pair((lo, hi), ninv, q, qinv, chain.small)
     return jnp.stack(res, axis=-2)

@@ -110,6 +110,7 @@ def _chain_slice(chain: mm.ModulusChain, start: int, stop: int) -> mm.ModulusCha
         r2=chain.r2[start:stop],
         rmod=chain.rmod[start:stop],
         one_mont=chain.one_mont[start:stop],
+        small=chain.small,
     )
 
 
