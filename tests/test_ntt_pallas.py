@@ -1,0 +1,51 @@
+"""Pallas fused-NTT kernel vs the staged jnp oracle (bit-exact).
+
+Runs the kernel in interpreter mode on CPU (tests force JAX_PLATFORMS=cpu
+in conftest); on TPU the same kernel is compiled and dispatched
+automatically by ops.poly.to_ntt / to_coeff.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toy_heaan_ckks_tpu import CkksContext, generate_primes
+from toy_heaan_ckks_tpu.math.sampling import make_rng
+from toy_heaan_ckks_tpu.ops import poly as pops
+from toy_heaan_ckks_tpu.ops.ntt_pallas import ntt_pallas, supported
+from toy_heaan_ckks_tpu.ops.poly import Poly
+
+
+@pytest.mark.parametrize("degree,count,bits", [(1024, 3, 30), (2048, 4, 31)])
+def test_pallas_matches_jnp_bit_exact(degree, count, bits):
+    primes = generate_primes(bits, count, degree)
+    ctx = CkksContext.build(primes, degree)
+    p = Poly.sample_uniform(ctx, make_rng(7))
+
+    ref_f = pops.forward_ntt(p.data, ctx.ntt, ctx.chain)
+    pal_f = ntt_pallas(p.data, ctx.moduli, degree, inverse=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_f), np.asarray(pal_f))
+
+    ref_i = pops.inverse_ntt(ref_f, ctx.ntt, ctx.chain)
+    pal_i = ntt_pallas(pal_f, ctx.moduli, degree, inverse=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(pal_i))
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(p.data))
+
+
+def test_pallas_batched_lead_dims():
+    degree = 1024
+    primes = generate_primes(30, 2, degree)
+    ctx = CkksContext.build(primes, degree)
+    d = jnp.stack(
+        [Poly.sample_uniform(ctx, make_rng(s)).data for s in range(3)]
+    )
+    ref = pops.forward_ntt(d, ctx.ntt, ctx.chain)
+    pal = ntt_pallas(d, ctx.moduli, degree, inverse=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+
+def test_supported_gate():
+    assert supported(1 << 14, small=True)
+    assert not supported(1 << 14, small=False)  # >= 2^31 primes: jnp path
+    assert not supported(512, small=True)  # tiny degrees: jnp path
+    assert not supported(1000, small=True)  # non-power-of-two

@@ -1,0 +1,285 @@
+"""Fused negacyclic NTT as a single Pallas TPU kernel (small-prime path).
+
+The staged jnp NTT in ``ntt.py`` materialises the full (L, N) residue plane
+in HBM between every one of the log2(N) stages. This kernel instead loads
+one channel's coefficient plane into VMEM once, runs *all* stages in
+registers/VMEM, and writes the result once — cutting HBM traffic by ~log2(N).
+
+Formulation
+-----------
+Both directions of the CRT-tree NTT (see ntt.py) are sequences of in-place
+distance-d butterflies on the flat array: at stage with distance d, element
+p pairs with p ^ d inside groups of 2d, and the group's twiddle w is constant
+across the group:
+
+    forward (d = N/2 ... 1):   out[u] = x[u] + w*x[v];  out[v] = x[u] - w*x[v]
+    inverse (d = 1 ... N/2):   out[u] = x[u] + x[v];    out[v] = (x[u] - x[v])*w
+
+With coefficients laid out as an (R, C) matrix (p = r*C + c, C a multiple of
+128 lanes), a distance-d butterfly needs only a *static circular shift*:
+  - d >= C: partner is d//C rows away  -> shift along the sublane axis
+  - d <  C: partner is d lanes away    -> shift along the lane axis
+so every stage is two shifts, one Montgomery multiply, one add, one subtract
+and a select — no reshapes, no gathers, no bit-reversal (reference keeps an
+explicit bit_reverse_permute + twist pass, src/rings/backends/rns_ntt/
+poly.rs:574-625; that formulation is gather-heavy and was rejected for TPU).
+
+Twiddles are pre-expanded host-side to one full (N,)-plane per stage
+(stage s has 2^s distinct values, each repeated N/2^s times), stacked as a
+(L, S, N) array. The grid is (channel, outer) with ``outer`` innermost, so
+the per-channel twiddle block is fetched into VMEM once and reused across
+every polynomial of that channel (batch elements, gadget digits).
+
+This kernel covers chains with all primes < 2^31 (Montgomery radix 2^32,
+single u32 limb) — the default configuration. Wider chains fall back to the
+staged jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MASK16 = 0xFFFF
+
+
+def _layout(n: int) -> tuple[int, int]:
+    """(rows, cols) 2D layout for an N-point plane; cols multiple of 128."""
+    c = _LANES
+    while n // c > 512 and c < 1024:
+        c *= 2
+    return n // c, c
+
+
+def supported(degree: int, small: bool) -> bool:
+    return small and degree >= 1024 and degree & (degree - 1) == 0
+
+
+# ── host-side twiddle plane expansion ────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=64)
+def _planes_cached(moduli: tuple[int, ...], degree: int):
+    """Expanded per-stage twiddle planes for Harvey/Shoup multiplication.
+
+    Twiddles are stored as *plain* values w plus their Shoup precomputation
+    w' = floor(w * 2^32 / q); multiplying Montgomery-form data by a plain
+    constant keeps the data in Montgomery form, so the NTT is transparent to
+    the rest of the (Montgomery-resident) pipeline and bit-exact against the
+    staged jnp path. The inverse's final N^{-1} scaling is a separate
+    elementwise pass with its own (n_inv, n_inv') pair.
+
+    Returns (fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp): planes are
+    uint32 (L, S, N); q/ninv/ninvp are uint32 (L, 1).
+    """
+    from ..math.primes import find_primitive_root
+    from .ntt import tree_exponent_stages
+
+    n = degree
+    two_n = 2 * n
+    stages_e = tree_exponent_stages(n)
+    s_count = len(stages_e)
+    L = len(moduli)
+
+    def shoup(w: int, q: int) -> int:
+        return (w << 32) // q
+
+    fwd_w = np.empty((L, s_count, n), dtype=np.uint32)
+    fwd_wp = np.empty((L, s_count, n), dtype=np.uint32)
+    inv_w = np.empty((L, s_count, n), dtype=np.uint32)
+    inv_wp = np.empty((L, s_count, n), dtype=np.uint32)
+    for li, q in enumerate(moduli):
+        psi = find_primitive_root(q, two_n)
+        for s, exps in enumerate(stages_e):
+            rep = n // len(exps)
+
+            def fill(dst_w, dst_wp, vals):
+                ws = np.array(vals, dtype=np.uint64)
+                wps = np.array([shoup(int(w), q) for w in vals],
+                               dtype=np.uint64)
+                dst_w[li, s] = np.repeat(ws, rep).astype(np.uint32)
+                dst_wp[li, s] = np.repeat(wps, rep).astype(np.uint32)
+
+            fill(fwd_w, fwd_wp, [pow(psi, e, q) for e in exps])
+            fill(inv_w, inv_wp, [pow(psi, two_n - e, q) for e in exps])
+
+    q_arr = np.array([[q] for q in moduli], dtype=np.uint32)
+    ninv_arr = np.array(
+        [[pow(n, -1, q)] for q in moduli], dtype=np.uint32
+    )
+    ninvp_arr = np.array(
+        [[shoup(pow(n, -1, q), q)] for q in moduli], dtype=np.uint32
+    )
+    # numpy (not jnp) so the lru_cache never captures traced constants
+    return fwd_w, fwd_wp, inv_w, inv_wp, q_arr, ninv_arr, ninvp_arr
+
+
+# ── kernel building blocks (single u32 limb, q < 2^31) ──────────────────────
+
+
+def _umul32_hi(a, b):
+    """High 32 bits of the 32x32 product, from 16-bit halves."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    lh = a0 * b1
+    hl = a1 * b0
+    t = ((a0 * b0) >> 16) + (lh & _MASK16) + (hl & _MASK16)
+    return a1 * b1 + (lh >> 16) + (hl >> 16) + (t >> 16)
+
+
+def _harvey_mul(x, w, wp, q):
+    """x * w mod q via Shoup precomputation wp = floor(w * 2^32 / q).
+
+    Valid for any x < 2^32, w < q < 2^31 (Harvey's lazy modmul); the
+    conditional subtract brings the [0, 2q) intermediate into [0, q).
+    """
+    h = _umul32_hi(x, wp)
+    r = x * w - h * q  # wrapping u32; in [0, 2q)
+    return jnp.where(r >= q, r - q, r)
+
+
+def _add_mod(a, b, q):
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def _sub_mod(a, b, q):
+    return jnp.where(a >= b, a - b, a + q - b)
+
+
+def _shift(x, amount: int, axis: int, use_roll: bool = True):
+    """Static circular shift: element i of the output = x[i + amount]."""
+    if use_roll:
+        size = x.shape[axis]
+        return pltpu.roll(x, (-amount) % size, axis)
+    if axis == 0:
+        return jnp.concatenate([x[amount:], x[:amount]], axis=0)
+    return jnp.concatenate([x[:, amount:], x[:, :amount]], axis=1)
+
+
+def _mask_u(r: int, c: int, d: int):
+    """True at butterfly 'u' positions for distance d in an (r, c) layout."""
+    if d >= c:
+        dr = d // c
+        rows = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+        return (rows % (2 * dr)) < dr
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    return (cols % (2 * d)) < d
+
+
+def _butterfly_args(n: int, r: int, c: int, d: int):
+    axis = 0 if d >= c else 1
+    amount = d // c if d >= c else d
+    return axis, amount, _mask_u(r, c, d)
+
+
+def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
+                *, n: int, r: int, c: int, inverse: bool):
+    ch = pl.program_id(0)
+    q = q_ref[ch, 0]
+    x = x_ref[0, 0]
+    s_count = n.bit_length() - 1
+    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = w_ref[0, s].reshape(r, c)
+        wp = wp_ref[0, s].reshape(r, c)
+        v_at_u = _shift(x, amount, axis)  # x[p + d]
+        u_at_v = _shift(x, -amount, axis)  # x[p - d]
+        if inverse:
+            total = _add_mod(x, v_at_u, q)  # at u: x[u] + x[v]
+            diff = _sub_mod(u_at_v, x, q)  # at v: x[u] - x[v]
+            x = jnp.where(mask, total, _harvey_mul(diff, w, wp, q))
+        else:
+            operand = jnp.where(mask, v_at_u, x)  # x[v] everywhere
+            wv = _harvey_mul(operand, w, wp, q)
+            x = jnp.where(
+                mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q)
+            )
+    if inverse:
+        x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
+    o_ref[0, 0] = x
+
+
+# ── pallas_call wrapper ──────────────────────────────────────────────────────
+
+
+@functools.partial(
+    jax.jit, static_argnames=("degree", "inverse", "interpret")
+)
+def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
+                     inverse: bool, interpret: bool = False):
+    """lo: uint32 (..., L, N) Montgomery residues -> same shape/order."""
+    n = degree
+    r, c = _layout(n)
+    lead = lo.shape[:-2]
+    L = lo.shape[-2]
+    x = lo.reshape(-1, L, r, c)
+    outer = x.shape[0]
+    s_count = n.bit_length() - 1
+
+    kernel = functools.partial(
+        _ntt_kernel, n=n, r=r, c=c, inverse=inverse
+    )
+    smem = lambda: pl.BlockSpec(
+        (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, r, c), lambda ch, o: (o, ch, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = lambda: pl.BlockSpec(
+        (1, s_count, r, c),
+        lambda ch, o: (ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, outer),
+        in_specs=[
+            smem(),
+            smem(),
+            smem(),
+            data_spec(),
+            plane_spec(),
+            plane_spec(),
+        ],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(
+        q,
+        ninv,
+        ninvp,
+        x,
+        w_planes.reshape(L, s_count, r, c),
+        wp_planes.reshape(L, s_count, r, c),
+    )
+    return out.reshape(*lead, L, n)
+
+
+def ntt_pallas(data: jnp.ndarray, moduli: tuple[int, ...], degree: int,
+               inverse: bool, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in NTT on (..., L, 2, N) uint32 limb data (hi limbs zero).
+
+    Semantics identical to ``ntt.forward_ntt`` / ``ntt.inverse_ntt`` for
+    small chains: Montgomery-form residues, tree-order NTT domain.
+    """
+    fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached(
+        tuple(moduli), degree
+    )
+    w_planes, wp_planes = (inv_w, inv_wp) if inverse else (fwd_w, fwd_wp)
+    lo = data[..., 0, :]
+    out_lo = _ntt_planes_call(
+        lo, w_planes, wp_planes, q, ninv, ninvp,
+        degree=degree, inverse=inverse, interpret=interpret,
+    )
+    return jnp.stack([out_lo, jnp.zeros_like(out_lo)], axis=-2)

@@ -14,6 +14,7 @@ boundaries.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -23,7 +24,24 @@ from ..context import CkksContext
 from ..math import sampling
 from ..math.crt import reconstruct_centered
 from . import modular as mm
+from . import ntt_pallas
 from .ntt import forward_ntt, inverse_ntt
+
+
+def _use_pallas(ctx: CkksContext) -> bool:
+    """Route NTTs through the fused Pallas kernel on TPU backends.
+
+    The staged jnp path remains the oracle (and the CPU/large-prime path);
+    CKKS_DISABLE_PALLAS=1 forces it everywhere.
+    """
+    if os.environ.get("CKKS_DISABLE_PALLAS"):
+        return False
+    if not ntt_pallas.supported(ctx.degree, ctx.chain.small):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 # ── Functional kernels (jitted; data = uint32 (..., L, 2, N) Montgomery) ────
 
@@ -51,11 +69,15 @@ def mul_pointwise(a, b, ctx: CkksContext):
 
 @jax.jit
 def to_ntt(a, ctx: CkksContext):
+    if _use_pallas(ctx):
+        return ntt_pallas.ntt_pallas(a, ctx.moduli, ctx.degree, inverse=False)
     return forward_ntt(a, ctx.ntt, ctx.chain)
 
 
 @jax.jit
 def to_coeff(a, ctx: CkksContext):
+    if _use_pallas(ctx):
+        return ntt_pallas.ntt_pallas(a, ctx.moduli, ctx.degree, inverse=True)
     return inverse_ntt(a, ctx.ntt, ctx.chain)
 
 
