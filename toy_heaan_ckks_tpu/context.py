@@ -59,6 +59,14 @@ class CkksContext:
     @staticmethod
     @functools.lru_cache(maxsize=128)
     def _build_cached(moduli: tuple[int, ...], degree: int) -> "CkksContext":
+        # Contexts may be (cache-)built while tracing (e.g. rescale_ntt
+        # derives the dropped channel's context inside jit): force eager
+        # array creation so the cache never captures tracers.
+        with jax.ensure_compile_time_eval():
+            return CkksContext._build_eager(moduli, degree)
+
+    @staticmethod
+    def _build_eager(moduli: tuple[int, ...], degree: int) -> "CkksContext":
         chain = ModulusChain.build(moduli)
         ntt = NttTables.build(chain, degree)
         if len(moduli) >= 2:

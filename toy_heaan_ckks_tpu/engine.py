@@ -52,17 +52,19 @@ class CkksParams:
     scale_bits: int = 30
 
 
-def _mod_sum(stack: jnp.ndarray, chain) -> jnp.ndarray:
-    """Modular tree-reduction over the leading (digit) axis."""
-    n = stack.shape[0]
+def _mod_sum(stack: jnp.ndarray, chain, axis: int = -4) -> jnp.ndarray:
+    """Modular tree-reduction over the digit axis (lead-dim polymorphic)."""
+    sl = functools.partial(jax.lax.slice_in_dim, stack, axis=axis)
+    n = stack.shape[axis]
     while n > 1:
         half = n // 2
-        paired = mm.add_mod(stack[:half], stack[half : 2 * half], chain)
+        paired = mm.add_mod(sl(0, half), sl(half, 2 * half), chain)
         if n % 2:
-            paired = jnp.concatenate([paired, stack[2 * half :]], axis=0)
+            paired = jnp.concatenate([paired, sl(2 * half, n)], axis=axis)
         stack = paired
-        n = stack.shape[0]
-    return stack[0]
+        sl = functools.partial(jax.lax.slice_in_dim, stack, axis=axis)
+        n = stack.shape[axis]
+    return jnp.squeeze(stack, axis=axis)
 
 
 @jax.jit
@@ -78,18 +80,17 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksConte
     batched NTT passes, all fused under one jit.
     """
     L = d_ntt.shape[-3]
+    ext_ch = key_a.shape[-3]
     d_coeff = pops.to_coeff(d_ntt, ctx)
     plain = mm.from_mont(d_coeff, ctx.chain)
-    ext_shape = (L, L + 1) + plain.shape[-2:]
-    alpha_plain = jnp.broadcast_to(plain[:, None], ext_shape)
+    ext_shape = plain.shape[:-3] + (L, ext_ch) + plain.shape[-2:]
+    alpha_plain = jnp.broadcast_to(jnp.expand_dims(plain, -3), ext_shape)
     alpha = mm.to_mont(alpha_plain, ext_ctx.chain)  # Mont_j(d_i mod q_j)
     alpha_ntt = pops.to_ntt(alpha, ext_ctx)
     ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ext_ctx.chain), ext_ctx.chain)
     ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ext_ctx.chain), ext_ctx.chain)
-    # divide by the special prime: QP -> Q, exact RNS rescale
-    ks0 = pops.rescale(pops.to_coeff(ks0, ext_ctx), ext_ctx)
-    ks1 = pops.rescale(pops.to_coeff(ks1, ext_ctx), ext_ctx)
-    return pops.to_ntt(ks0, ctx), pops.to_ntt(ks1, ctx)
+    # divide by the special prime: QP -> Q, exact RNS rescale (NTT domain)
+    return pops.rescale_ntt(ks0, ext_ctx), pops.rescale_ntt(ks1, ext_ctx)
 
 
 @jax.jit
@@ -279,8 +280,8 @@ class CkksEngine:
         (reference engine.rs:255-282 — the +1 in bit_length matters)."""
         q_last = ct.ctx.moduli[-1]
         bits_dropped = q_last.bit_length()
-        c0 = ct.c0.rescale().to_ntt_domain()
-        c1 = ct.c1.rescale().to_ntt_domain()
+        c0 = ct.c0.rescale_ntt()
+        c1 = ct.c1.rescale_ntt()
         return Ciphertext(
             c0=c0,
             c1=c1,

@@ -105,6 +105,33 @@ def rescale(a, ctx: CkksContext):
     return mm.mont_mul(diff, ctx.qlast_inv, child)
 
 
+@jax.jit
+def rescale_ntt(a, ctx: CkksContext):
+    """Exact RNS rescale with NTT-domain input AND output.
+
+    Bit-exact equal to ``to_ntt(rescale(to_coeff(a)))`` but ~2x cheaper:
+    only the dropped channel is inverse-transformed (the rescale correction
+    polynomial x = c_last has integer coefficients, so NTT_i(x mod q_i) is
+    computed directly per kept channel) — 1 + (L-1) channel-NTTs instead of
+    L + (L-1). Input (..., L, 2, N) -> output (..., L-1, 2, N).
+    """
+    num = a.shape[-3]
+    if num < 2:
+        raise ValueError("rescale_ntt: need at least two channels")
+    child_ctx = ctx.drop_last(1)
+    last_ctx = CkksContext.build((ctx.moduli[-1],), ctx.degree)
+
+    last = a[..., num - 1 : num, :, :]
+    last_coeff = to_coeff(last, last_ctx)
+    plain_last = mm.from_mont(last_coeff, last_ctx.chain)
+    bcast = jnp.broadcast_to(
+        plain_last, a.shape[:-3] + (num - 1,) + a.shape[-2:]
+    )
+    x_ntt = to_ntt(mm.to_mont(bcast, child_ctx.chain), child_ctx)
+    diff = mm.sub_mod(a[..., : num - 1, :, :], x_ntt, child_ctx.chain)
+    return mm.mont_mul(diff, ctx.qlast_inv, child_ctx.chain)
+
+
 def mod_drop_last(a, count: int = 1):
     keep = a.shape[-3] - count
     if keep < 1:
@@ -278,6 +305,13 @@ class Poly:
         coeff = self.to_coeff_domain()
         child_ctx = self.ctx.drop_last(1)
         return Poly(rescale(coeff.data, self.ctx), child_ctx, False)
+
+    def rescale_ntt(self) -> "Poly":
+        """Rescale staying resident in NTT domain (bit-exact with
+        ``rescale().to_ntt_domain()``, ~2x fewer channel-NTTs)."""
+        ntt = self.to_ntt_domain()
+        child_ctx = self.ctx.drop_last(1)
+        return Poly(rescale_ntt(ntt.data, self.ctx), child_ctx, True)
 
     def mod_drop_last(self, count: int = 1) -> "Poly":
         child_ctx = self.ctx.drop_last(count)

@@ -33,21 +33,14 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
     """One fused (batched) multiply + relinearize + rescale on raw arrays.
 
     Input/output: uint32 (B, L, 2, N) NTT-domain Montgomery residues
-    (output has L-1 channels).
+    (output has L-1 channels). All stages are lead-dim polymorphic, so the
+    batch flows through as a leading axis — no vmap (vmap over pallas_call
+    fragments the NTT grid and defeats its per-channel twiddle reuse).
     """
-    core = functools.partial(
-        _mul_gadget_core, key_a=key_a, key_b=key_b, ctx=ctx, ext_ctx=ext_ctx
+    t0, t1 = _mul_gadget_core(
+        c0a, c1a, c0b, c1b, key_a, key_b, ctx, ext_ctx
     )
-    t0, t1 = jax.vmap(lambda a0, a1, b0, b1: core(a0, a1, b0, b1))(
-        c0a, c1a, c0b, c1b
-    )
-
-    def rs(x):
-        return pops.to_ntt(
-            pops.rescale(pops.to_coeff(x, ctx), ctx), child_ctx
-        )
-
-    return jax.vmap(rs)(t0), jax.vmap(rs)(t1)
+    return pops.rescale_ntt(t0, ctx), pops.rescale_ntt(t1, ctx)
 
 
 def batched_mul_relin_rescale(ct_batch_a, ct_batch_b, rlk, ctx, child_ctx):
@@ -88,7 +81,9 @@ def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext,
     data_s = ct_spec(mesh)
     key_s = key_spec(mesh)
 
-    def rot_one(c0, c1, key_a, key_b):
+    def fn(c0, c1, key_a, key_b):
+        from ..ops import modular as mm
+
         c0_rot = pops.to_ntt(
             pops.automorphism(pops.to_coeff(c0, ctx), src, negate, ctx), ctx
         )
@@ -96,14 +91,7 @@ def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext,
             pops.automorphism(pops.to_coeff(c1, ctx), src, negate, ctx), ctx
         )
         ks0, ks1 = _gadget_key_switch(c1_rot, key_a, key_b, ctx, ext_ctx)
-        from ..ops import modular as mm
-
         return mm.add_mod(c0_rot, ks0, ctx.chain), ks1
-
-    def fn(c0, c1, key_a, key_b):
-        return jax.vmap(
-            lambda a, b: rot_one(a, b, key_a, key_b)
-        )(c0, c1)
 
     return jax.jit(
         fn,
