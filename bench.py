@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEGREE = 1 << 14
 NUM_PRIMES = 8
 PRIME_BITS = 31
+DIGIT_SIZE = 4  # hybrid key-switch digit size (4 channels/digit, 4 specials)
 BATCH = 4
 WARMUP = 3
 ITERS = 20
@@ -37,7 +38,14 @@ _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _measure(batch: int, iters: int, warmup: int) -> float:
-    """Seconds per single mult(relin+rescale), amortised over the batch."""
+    """Seconds per single mult(relin+rescale), amortised over the batch.
+
+    The ``iters`` multiplies run *on device* inside one jitted
+    ``lax.fori_loop`` (one host dispatch per timing rep), so the number
+    measures the chip, not the host/tunnel dispatch latency. The loop
+    carry perturbs the next iteration's input, preventing XLA from
+    hoisting the loop body.
+    """
     import jax
 
     jax.config.update(
@@ -62,7 +70,7 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
     engine = CkksEngine(ctx, CkksParams(3.2, DEGREE // 2, PRIME_BITS))
     rng = make_rng(7)
     sk = engine.generate_secret_key(rng)
-    rlk = engine.generate_gadget_relin_key(sk, rng)
+    rlk = engine.generate_gadget_relin_key(sk, rng, digit_size=DIGIT_SIZE)
     child = ctx.drop_last(1)
 
     def rand_ct(seed):
@@ -76,24 +84,29 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
 
     c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
 
-    fn = __import__("jax").jit(
-        lambda a, b, c, d: _mul_relin_rescale_arrays(
-            a, b, c, d, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
+    def body(i, carry):
+        a = c0a.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
+        out = _mul_relin_rescale_arrays(
+            a, c1a, c0b, c1b, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
         )
+        return out[0]
+
+    init = jnp.zeros(
+        (batch, NUM_PRIMES - 1, 2, DEGREE), dtype=jnp.uint32
     )
+    fn = jax.jit(lambda: jax.lax.fori_loop(0, iters, body, init))
 
     for _ in range(warmup):
-        out = fn(c0a, c1a, c0b, c1b)
-    out[0].block_until_ready()
+        out = fn()
+    out.block_until_ready()
 
-    # The tunneled chip's throughput varies over time; report the best of
-    # several timing reps (closest to the hardware's actual capability).
+    # The tunnel's dispatch latency varies over time; take the best of
+    # several single-dispatch reps (closest to the chip's capability).
     reps = []
     for _ in range(5 if iters > 2 else 1):
         t0 = time.time()
-        for _ in range(iters):
-            out = fn(c0a, c1a, c0b, c1b)
-        out[0].block_until_ready()
+        out = fn()
+        out.block_until_ready()
         reps.append((time.time() - t0) / (iters * batch))
     return min(reps)
 

@@ -67,30 +67,177 @@ def _mod_sum(stack: jnp.ndarray, chain, axis: int = -4) -> jnp.ndarray:
     return jnp.squeeze(stack, axis=axis)
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class _SwitchPlan:
+    """Precomputed constants for one hybrid key-switch configuration.
+
+    Decomposition digit t covers prime group G_t (size <= g); its RNS
+    decomposition is the approximate basis extension
+        y_k    = d_k * (Qhat_tk)^{-1} mod q_k          (Qhat_tk = Q_t / q_k)
+        alpha_t[j] = sum_{k in G_t} y_k * (Qhat_tk mod q_j)
+    which equals (d mod Q_t) + u*Q_t as an integer (u < g); the u*Q_t
+    overflow vanishes modulo Q because Q_t * T_t == 0 (mod Q). The final
+    division by P = prod(specials) is the same extension applied to the
+    special channels. digit_size=1 reduces to the reference's exact
+    per-channel broadcast (engine.rs:505-528).
+    """
+
+    digit_size: int
+    num_digits: int
+    dec_inv: jnp.ndarray  # (L, 2, 1)  plain (Qhat_tk)^{-1} mod q_k
+    ext_c: jnp.ndarray  # (D, g, E, 2, 1)  (Qhat_tk * R^2) mod q_j (0-padded)
+    sp_inv: jnp.ndarray  # (g', 2, 1) plain (Phat_m)^{-1} mod p_m
+    phat_c: jnp.ndarray  # (g', L, 2, 1)  (Phat_m * R^2) mod q_j
+    p_inv: jnp.ndarray  # (L, 2, 1)  Montgomery(P^{-1} mod q_j)
+
+
+jax.tree_util.register_dataclass(
+    _SwitchPlan,
+    data_fields=["dec_inv", "ext_c", "sp_inv", "phat_c", "p_inv"],
+    meta_fields=["digit_size", "num_digits"],
+)
+
+
+def _pack_u64_cols(vals) -> np.ndarray:
+    """List/array of ints < 2^64 -> uint32 (..., 2, 1) limb columns."""
+    arr = np.asarray(vals, dtype=object)
+    lo = (arr & 0xFFFFFFFF).astype(np.uint32)
+    hi = (arr >> 32).astype(np.uint32)
+    return np.stack([lo, hi], axis=-1)[..., None]
+
+
+@functools.lru_cache(maxsize=128)
+def _switch_plan(
+    base_moduli: tuple[int, ...], ext_moduli: tuple[int, ...], num_digits: int
+) -> _SwitchPlan:
+    from .keys import digit_groups
+
+    L = len(base_moduli)
+    E = len(ext_moduli)
+    gp = E - L
+    specials = ext_moduli[L:]
+    digit_size = -(-L // num_digits)
+    groups = digit_groups(L, digit_size)
+    assert len(groups) == num_digits
+    small = all(m < (1 << 31) for m in ext_moduli)
+    rbits = 32 if small else 64
+    r2 = {q: pow(1 << rbits, 2, q) for q in ext_moduli}
+
+    dec_inv = np.zeros(L, dtype=object)
+    ext_c = np.zeros((num_digits, digit_size, E), dtype=object)
+    for t, grp in enumerate(groups):
+        for gi, k in enumerate(grp):
+            qhat = 1
+            for k2 in grp:
+                if k2 != k:
+                    qhat *= base_moduli[k2]
+            dec_inv[k] = pow(qhat % base_moduli[k], -1, base_moduli[k])
+            for j, qj in enumerate(ext_moduli):
+                ext_c[t, gi, j] = (qhat % qj) * r2[qj] % qj
+
+    p_total = 1
+    for p in specials:
+        p_total *= p
+    sp_inv = np.zeros(gp, dtype=object)
+    phat_c = np.zeros((gp, L), dtype=object)
+    for m, pm in enumerate(specials):
+        phat = p_total // pm
+        sp_inv[m] = pow(phat % pm, -1, pm)
+        for j, qj in enumerate(base_moduli):
+            phat_c[m, j] = (phat % qj) * r2[qj] % qj
+    p_inv = [
+        (pow(p_total % qj, -1, qj) << rbits) % qj for qj in base_moduli
+    ]
+
+    with jax.ensure_compile_time_eval():
+        return _SwitchPlan(
+            digit_size=digit_size,
+            num_digits=num_digits,
+            dec_inv=jnp.asarray(_pack_u64_cols(dec_inv)),
+            ext_c=jnp.asarray(_pack_u64_cols(ext_c)),
+            sp_inv=jnp.asarray(_pack_u64_cols(sp_inv)),
+            phat_c=jnp.asarray(_pack_u64_cols(phat_c)),
+            p_inv=jnp.asarray(_pack_u64_cols(p_inv)),
+        )
+
+
+def _mod_down_ntt(x, ctx: CkksContext, ext_ctx: CkksContext, plan: _SwitchPlan):
+    """Divide an NTT-domain poly over QP by P = prod(specials): QP -> Q.
+
+    Approximate basis extension of the special channels (exact when there
+    is a single special prime — then it is precisely ``rescale_ntt``); the
+    extension overflow adds |error| <= g' to each coefficient, negligible
+    against the key-switch noise it accompanies.
+    """
+    L = len(ctx.moduli)
+    E = x.shape[-3]
+    gp = E - L
+    sp_ctx = CkksContext.build(ext_ctx.moduli[L:], ctx.degree)
+    x_sp = pops.to_coeff(x[..., L:, :, :], sp_ctx)
+    yhat = mm.mont_mul(x_sp, plan.sp_inv, sp_ctx.chain)  # plain, < p_m
+    acc = None
+    for m in range(gp):
+        term = mm.mont_mul(
+            yhat[..., m : m + 1, :, :], plan.phat_c[m], ctx.chain
+        )
+        acc = term if acc is None else mm.add_mod(acc, term, ctx.chain)
+    ext_ntt = pops.to_ntt(acc, ctx)
+    diff = mm.sub_mod(x[..., :L, :, :], ext_ntt, ctx.chain)
+    return mm.mont_mul(diff, plan.p_inv, ctx.chain)
+
+
 @jax.jit
 def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext):
     """Hybrid RNS gadget key switch of an NTT-domain poly ``d`` over Q.
 
-    alpha_i(d) broadcasts channel i's plain coefficient residues to every
-    channel of the *raised* modulus QP (the reference's decomposition,
-    engine.rs:505-528, extended with the special prime); the digit inner
-    products (sum_i alpha_i * b_i, sum_i alpha_i * a_i) accumulate in NTT
-    domain over QP and are then exactly divided by P (one RNS rescale),
-    shrinking key-switch noise by 1/P. Costs 1+2 inverse + (L+2) forward
-    batched NTT passes, all fused under one jit.
+    Decomposes d into D digits (contiguous RNS prime groups — the
+    reference's per-channel decomposition, engine.rs:505-528, generalised
+    to digit groups), raises each digit to the modulus QP by approximate
+    basis extension, accumulates the digit inner products against the key
+    in NTT domain over QP, and exactly divides by P (one batched RNS
+    mod-down), shrinking key-switch noise by 1/P. Dominant cost: D*(L+g')
+    forward channel-NTTs (vs the reference's O(L^2) with 3x NTT passes).
     """
     L = d_ntt.shape[-3]
-    ext_ch = key_a.shape[-3]
+    D = key_a.shape[-4]
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, D)
+    g = plan.digit_size
+
+    if pops._use_pallas(ext_ctx):
+        from .ops import small_fast as sf
+
+        ks0, ks1 = sf.key_switch_lo(
+            d_ntt[..., 0, :], key_a, key_b, ctx, ext_ctx, plan
+        )
+        stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
+        return stack(ks0), stack(ks1)
+
     d_coeff = pops.to_coeff(d_ntt, ctx)
-    plain = mm.from_mont(d_coeff, ctx.chain)
-    ext_shape = plain.shape[:-3] + (L, ext_ch) + plain.shape[-2:]
-    alpha_plain = jnp.broadcast_to(jnp.expand_dims(plain, -3), ext_shape)
-    alpha = mm.to_mont(alpha_plain, ext_ctx.chain)  # Mont_j(d_i mod q_j)
-    alpha_ntt = pops.to_ntt(alpha, ext_ctx)
+    y = mm.mont_mul(d_coeff, plan.dec_inv, ctx.chain)  # plain y_k in [0,q_k)
+
+    pad = D * g - L
+    if pad:
+        zshape = y.shape[:-3] + (pad,) + y.shape[-2:]
+        y = jnp.concatenate(
+            [y, jnp.zeros(zshape, dtype=y.dtype)], axis=-3
+        )
+    yg = y.reshape(y.shape[:-3] + (D, g) + y.shape[-2:])
+
+    acc = None
+    for k in range(g):
+        # (..., D, 1, 2, N) x (D, 1?, E, 2, 1) -> (..., D, E, 2, N)
+        term = mm.mont_mul(
+            yg[..., :, k : k + 1, :, :], plan.ext_c[:, k], ext_ctx.chain
+        )
+        acc = term if acc is None else mm.add_mod(acc, term, ext_ctx.chain)
+
+    alpha_ntt = pops.to_ntt(acc, ext_ctx)
     ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ext_ctx.chain), ext_ctx.chain)
     ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ext_ctx.chain), ext_ctx.chain)
-    # divide by the special prime: QP -> Q, exact RNS rescale (NTT domain)
-    return pops.rescale_ntt(ks0, ext_ctx), pops.rescale_ntt(ks1, ext_ctx)
+    return (
+        _mod_down_ntt(ks0, ctx, ext_ctx, plan),
+        _mod_down_ntt(ks1, ctx, ext_ctx, plan),
+    )
 
 
 @jax.jit
@@ -150,14 +297,22 @@ class CkksEngine:
         )
 
     def generate_gadget_relin_key(
-        self, sk: SecretKey, rng: np.random.Generator
+        self, sk: SecretKey, rng: np.random.Generator, digit_size: int = 1
     ) -> RnsGadgetRelinKey:
         return RnsGadgetRelinKey.generate(
-            sk, float(np.sqrt(self.params.error_variance)), self.context, rng
+            sk,
+            float(np.sqrt(self.params.error_variance)),
+            self.context,
+            rng,
+            digit_size=digit_size,
         )
 
     def generate_gadget_rotation_key(
-        self, sk: SecretKey, rotation: int, rng: np.random.Generator
+        self,
+        sk: SecretKey,
+        rotation: int,
+        rng: np.random.Generator,
+        digit_size: int = 1,
     ) -> RnsGadgetRotationKey:
         return RnsGadgetRotationKey.generate(
             sk,
@@ -165,6 +320,7 @@ class CkksEngine:
             float(np.sqrt(self.params.error_variance)),
             self.context,
             rng,
+            digit_size=digit_size,
         )
 
     # ── encryption / decryption ──────────────────────────────────────────

@@ -158,24 +158,43 @@ class RotationKey:
 # as integers, and P * t * Q * r == 0 (mod QP).
 
 
-def default_special_prime(ctx: CkksContext) -> int:
-    """Pick an NTT-friendly special prime P ~ max(q_i), distinct from the
-    chain.
+def default_special_primes(ctx: CkksContext, count: int = 1) -> tuple[int, ...]:
+    """Pick ``count`` NTT-friendly special primes ~ max(q_i), distinct from
+    the chain (and each other).
 
-    For "small" chains (all primes < 2^31) P is kept below 2^31 so the
-    raised chain stays on the fast 32-bit Montgomery path; otherwise P gets
-    one extra bit up to the 63-bit Montgomery budget."""
+    For "small" chains (all primes < 2^31) the specials stay below 2^31 so
+    the raised chain keeps the fast 32-bit Montgomery path; otherwise they
+    get one extra bit up to the 63-bit Montgomery budget."""
     bits = max(m.bit_length() for m in ctx.moduli)
     if ctx.chain.small:
         bound, min_bits = 1 << 31, bits
     else:
         bound, min_bits = 1 << min(63, bits + 1), bits
+    out: list[int] = []
     p = get_first_prime_down(bound, ctx.degree)
-    while p is not None and (p in ctx.moduli or p.bit_length() < min_bits):
+    while p is not None and len(out) < count:
+        if p not in ctx.moduli and p.bit_length() >= min_bits:
+            out.append(p)
         p = get_first_prime_down(p, ctx.degree)
-    if p is None:
-        raise ValueError("no special prime available for this chain")
-    return p
+    if len(out) < count:
+        raise ValueError("not enough special primes available for this chain")
+    return tuple(out)
+
+
+def default_special_prime(ctx: CkksContext) -> int:
+    return default_special_primes(ctx, 1)[0]
+
+
+def digit_groups(num_channels: int, digit_size: int) -> tuple[tuple[int, ...], ...]:
+    """Contiguous RNS-channel groups of size <= digit_size (the hybrid
+    key-switch decomposition digits; digit_size=1 is the reference's
+    per-channel gadget, engine.rs:505-528)."""
+    if digit_size < 1:
+        raise ValueError("digit_size must be >= 1")
+    return tuple(
+        tuple(range(lo, min(lo + digit_size, num_channels)))
+        for lo in range(0, num_channels, digit_size)
+    )
 
 
 def _mont_const_per_channel(values, moduli, rbits: int) -> jnp.ndarray:
@@ -192,60 +211,93 @@ def _gadget_pairs(
     std_dev: float,
     ctx: CkksContext,
     rng: np.random.Generator,
-    special: int,
+    specials: tuple[int, ...],
+    digit_size: int = 1,
 ):
     """Build stacked hybrid gadget pairs encoding ``target``.
 
-    Digit i's plaintext over QP is P * e_i * t: channel i holds
-    (P mod q_i) * t_i, every other channel (including P's) is zero. Channel
-    masking commutes with the channel-local NTT, so the mask is applied
-    directly on NTT-domain data. Returns (a, b, ext_ctx) with a/b uint32
-    stacks of shape (L, L+1, 2, N) in NTT domain.
+    The base chain is partitioned into D = ceil(L/digit_size) digits (the
+    reference's gadget is the digit_size=1 case, one digit per RNS channel —
+    engine.rs:505-528). Digit t's plaintext over QP is P * T_t * target,
+    where T_t is the CRT indicator of the digit's prime group (T_t = 1 mod
+    each q_k in group t, 0 mod the others); since T_t mod q_j is 0/1, the
+    plaintext is simply (P mod q_j) * t_j on the group's channels and zero
+    elsewhere (the P*T_t term vanishes mod every special prime because P
+    divides it). Channel masking commutes with the channel-local NTT.
+
+    Returns (a, b, ext_ctx): uint32 stacks of shape (D, L+g', 2, N) in NTT
+    domain, g' = len(specials).
     """
     L = ctx.num_channels
-    ext_ctx = CkksContext.build(ctx.moduli + (special,), ctx.degree)
+    groups = digit_groups(L, digit_size)
+    ext_ctx = CkksContext.build(ctx.moduli + tuple(specials), ctx.degree)
     s_ext = sk.extend_to(ext_ctx)
+    p_total = 1
+    for p in specials:
+        p_total *= p
 
     # (P mod q_j) * t_j on the base channels, in Montgomery form
     p_mod = _mont_const_per_channel(
-        [special % q for q in ctx.moduli], ctx.moduli, ctx.chain.radix_bits
+        [p_total % q for q in ctx.moduli], ctx.moduli, ctx.chain.radix_bits
     )
     t_ntt = target.to_ntt_domain().data  # (L, 2, N)
     t_scaled = mm.mont_mul(t_ntt, p_mod, ctx.chain)
 
-    # embed into L+1 channels (P channel = 0), then digit-mask
-    zeros_p = jnp.zeros((1, 2, ctx.degree), dtype=jnp.uint32)
-    t_ext = jnp.concatenate([t_scaled, zeros_p], axis=0)  # (L+1, 2, N)
-    eye = jnp.equal(
-        jnp.arange(L)[:, None], jnp.arange(L + 1)[None, :]
+    # embed into L+g' channels (special channels = 0), then group-mask
+    zeros_p = jnp.zeros((len(specials), 2, ctx.degree), dtype=jnp.uint32)
+    t_ext = jnp.concatenate([t_scaled, zeros_p], axis=0)  # (E, 2, N)
+    group_of = np.full(L + len(specials), -1, dtype=np.int64)
+    for t, grp in enumerate(groups):
+        for k in grp:
+            group_of[k] = t
+    mask = jnp.equal(
+        jnp.arange(len(groups))[:, None], jnp.asarray(group_of)[None, :]
     )[:, :, None, None]
-    plain = jnp.where(eye, t_ext[None, :, :, :], 0).astype(jnp.uint32)
+    plain = jnp.where(mask, t_ext[None, :, :, :], 0).astype(jnp.uint32)
 
     a_list, b_list = [], []
-    for _ in range(L):
+    for _ in range(len(groups)):
         a_i = Poly.sample_uniform(ext_ctx, rng).to_ntt_domain()
         e_i = Poly.sample_gaussian(ext_ctx, std_dev, rng).to_ntt_domain()
         b_i = -(a_i * s_ext) + e_i
         a_list.append(a_i.data)
         b_list.append(b_i.data)
-    a_stack = jnp.stack(a_list)  # (L, L+1, 2, N)
+    a_stack = jnp.stack(a_list)  # (D, E, 2, N)
     b_stack = mm.add_mod(jnp.stack(b_list), plain, ext_ctx.chain)
     return a_stack, b_stack, ext_ctx
 
 
+def _resolve_specials(
+    ctx: CkksContext,
+    special: int | None,
+    specials: tuple[int, ...] | None,
+    digit_size: int,
+) -> tuple[int, ...]:
+    if specials is not None:
+        return tuple(int(p) for p in specials)
+    if special is not None:
+        return (int(special),)
+    groups = digit_groups(ctx.num_channels, digit_size)
+    return default_special_primes(ctx, max(len(g) for g in groups))
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class RnsGadgetRelinKey:
-    """Gadget relinearization key: digit i encodes P * e_i * s^2 over QP.
+    """Gadget relinearization key: digit t encodes P * T_t * s^2 over QP.
 
-    a/b: uint32 (L, L+1, 2, N) NTT-domain stacks
-    (digit, channel incl. special, limb, coeff).
+    a/b: uint32 (D, L+g', 2, N) NTT-domain stacks
+    (digit, channel incl. specials, limb, coeff). ``digit_size`` channels
+    per digit; the number of special primes g' equals the digit size, so
+    key-switch noise stays ~ the digit_size=1 level while the dominant
+    decomposition cost drops from L*(L+1) to D*(L+g') channel-NTTs.
     """
 
     a: jnp.ndarray
     b: jnp.ndarray
     ctx: CkksContext
     ext_ctx: CkksContext
-    special: int
+    special: int  # product of the special primes
+    digit_size: int = 1
 
     @staticmethod
     def generate(
@@ -254,25 +306,34 @@ class RnsGadgetRelinKey:
         ctx: CkksContext,
         rng: np.random.Generator,
         special: int | None = None,
+        specials: tuple[int, ...] | None = None,
+        digit_size: int = 1,
     ) -> "RnsGadgetRelinKey":
-        special = special or default_special_prime(ctx)
+        sp = _resolve_specials(ctx, special, specials, digit_size)
         s_sq = sk.poly * sk.poly  # NTT domain
-        a, b, ext_ctx = _gadget_pairs(sk, s_sq, std_dev, ctx, rng, special)
+        a, b, ext_ctx = _gadget_pairs(
+            sk, s_sq, std_dev, ctx, rng, sp, digit_size
+        )
+        p_total = 1
+        for p in sp:
+            p_total *= p
         return RnsGadgetRelinKey(
-            a=a, b=b, ctx=ctx, ext_ctx=ext_ctx, special=special
+            a=a, b=b, ctx=ctx, ext_ctx=ext_ctx, special=p_total,
+            digit_size=digit_size,
         )
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class RnsGadgetRotationKey:
-    """Gadget rotation key: digit i encodes P * e_i * s(X^{5^k}) over QP."""
+    """Gadget rotation key: digit t encodes P * T_t * s(X^{5^k}) over QP."""
 
     a: jnp.ndarray
     b: jnp.ndarray
     rotation: int
     ctx: CkksContext
     ext_ctx: CkksContext
-    special: int
+    special: int  # product of the special primes
+    digit_size: int = 1
 
     @staticmethod
     def generate(
@@ -282,13 +343,20 @@ class RnsGadgetRotationKey:
         ctx: CkksContext,
         rng: np.random.Generator,
         special: int | None = None,
+        specials: tuple[int, ...] | None = None,
+        digit_size: int = 1,
     ) -> "RnsGadgetRotationKey":
-        special = special or default_special_prime(ctx)
+        sp = _resolve_specials(ctx, special, specials, digit_size)
         s_k = sk.poly.rotate_slots(rotation)
-        a, b, ext_ctx = _gadget_pairs(sk, s_k, std_dev, ctx, rng, special)
+        a, b, ext_ctx = _gadget_pairs(
+            sk, s_k, std_dev, ctx, rng, sp, digit_size
+        )
+        p_total = 1
+        for p in sp:
+            p_total *= p
         return RnsGadgetRotationKey(
             a=a, b=b, rotation=rotation, ctx=ctx, ext_ctx=ext_ctx,
-            special=special,
+            special=p_total, digit_size=digit_size,
         )
 
 

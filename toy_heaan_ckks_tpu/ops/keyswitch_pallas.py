@@ -1,0 +1,231 @@
+"""Fused hybrid gadget key-switch accumulation as one Pallas TPU kernel.
+
+The jnp path materialises the full decomposition tensor alpha
+(batch, D digits, E channels, N) in HBM, NTTs it, multiplies by the key
+and tree-reduces — several full-size HBM round trips (reference semantics:
+src/crypto/engine.rs:505-528 generalised to digit groups). This kernel
+fuses the whole chain per (ext channel j, batch element) grid step:
+
+    for each digit t:
+        alpha_t = sum_{k in group t} yhat_k * (Qhat_tk * R mod q_j)   [Harvey]
+        alpha_t = forward NTT (all stages in VMEM)
+        ks0 += alpha_t * key_b[t, j];  ks1 += alpha_t * key_a[t, j]   [REDC]
+
+so the alpha tensor never exists in memory: HBM traffic is yhat in, two
+accumulated planes out, with twiddles and key planes fetched once per
+channel (grid is (channel, outer) with outer innermost).
+
+Small-prime chains only (q < 2^31, single u32 limb); exact parity with the
+jnp path (modular sums are order-independent).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt_pallas import (
+    _add_mod,
+    _butterfly_args,
+    _harvey_mul,
+    _layout,
+    _planes_cached,
+    _shift,
+    _sub_mod,
+)
+
+
+def _umul32(a, b):
+    """Full 32x32 -> 64 product from 16-bit halves. Returns (lo, hi)."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    t = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
+    lo = (ll & 0xFFFF) | ((t & 0xFFFF) << 16)
+    hi = a1 * b1 + (lh >> 16) + (hl >> 16) + (t >> 16)
+    return lo, hi
+
+
+def _mont_redc(a, b, q, qinv):
+    """Montgomery product a*b*R^{-1} mod q (R=2^32), both operands variable."""
+    t_lo, t_hi = _umul32(a, b)
+    m = t_lo * qinv
+    mq_lo, mq_hi = _umul32(m, q)
+    s_lo = t_lo + mq_lo
+    carry = (s_lo < t_lo).astype(jnp.uint32)
+    res = t_hi + mq_hi + carry  # < 2q
+    return jnp.where(res >= q, res - q, res)
+
+
+@functools.lru_cache(maxsize=64)
+def _switch_consts(base_moduli: tuple, ext_moduli: tuple, num_digits: int):
+    """Host tables for the in-kernel basis extension (plain, not traced).
+
+    c[k, j]   = (Qhat_{t(k),k} * 2^32) mod q_j   (Harvey weight: maps the
+                plain yhat_k straight to Montgomery form of its alpha term)
+    cs[k, j]  = Shoup companion floor(c * 2^32 / q_j)
+    Plus per-ext-channel q and -q^{-1} mod 2^32 for the key REDC.
+    """
+    from ..keys import digit_groups
+
+    L = len(base_moduli)
+    E = len(ext_moduli)
+    digit_size = -(-L // num_digits)
+    groups = digit_groups(L, digit_size)
+    dg = num_digits * digit_size
+
+    c = np.zeros((dg, E), dtype=np.uint32)
+    cs = np.zeros((dg, E), dtype=np.uint32)
+    for t, grp in enumerate(groups):
+        for gi, k in enumerate(grp):
+            qhat = 1
+            for k2 in grp:
+                if k2 != k:
+                    qhat *= base_moduli[k2]
+            for j, qj in enumerate(ext_moduli):
+                w = (qhat << 32) % qj
+                c[t * digit_size + gi, j] = w
+                cs[t * digit_size + gi, j] = (w << 32) // qj
+    q = np.array([[m] for m in ext_moduli], dtype=np.uint32)
+    qinv = np.array(
+        [[(-pow(m, -1, 1 << 32)) % (1 << 32)] for m in ext_moduli],
+        dtype=np.uint32,
+    )
+    return c, cs, q, qinv, digit_size
+
+
+def _fwd_stages(x, w_ref, wp_ref, q, n: int, r: int, c: int):
+    """All forward butterfly stages on a VMEM-resident plane."""
+    for s in range(n.bit_length() - 1):
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = w_ref[0, s].reshape(r, c)
+        wp = wp_ref[0, s].reshape(r, c)
+        v_at_u = _shift(x, amount, axis)
+        u_at_v = _shift(x, -amount, axis)
+        operand = jnp.where(mask, v_at_u, x)
+        wv = _harvey_mul(operand, w, wp, q)
+        x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+    return x
+
+
+def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
+               ka_ref, kb_ref, o0_ref, o1_ref,
+               *, n: int, r: int, c: int, num_digits: int,
+               digit_size: int, num_base: int):
+    j = pl.program_id(0)
+    q = q_ref[j, 0]
+    qinv = qinv_ref[j, 0]
+    acc0 = jnp.zeros((r, c), jnp.uint32)
+    acc1 = jnp.zeros((r, c), jnp.uint32)
+    for t in range(num_digits):
+        x = None
+        for gi in range(digit_size):
+            k = t * digit_size + gi
+            if k >= num_base:
+                break
+            term = _harvey_mul(
+                y_ref[0, k], c_ref[k, j], cs_ref[k, j], q
+            )
+            x = term if x is None else _add_mod(x, term, q)
+        x = _fwd_stages(x, w_ref, wp_ref, q, n, r, c)
+        acc0 = _add_mod(acc0, _mont_redc(x, kb_ref[t, 0], q, qinv), q)
+        acc1 = _add_mod(acc1, _mont_redc(x, ka_ref[t, 0], q, qinv), q)
+    o0_ref[0, 0] = acc0
+    o1_ref[0, 0] = acc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_moduli", "ext_moduli", "degree", "interpret", "stack_limbs"
+    ),
+)
+def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
+                             base_moduli: tuple, ext_moduli: tuple,
+                             degree: int, interpret: bool = False,
+                             stack_limbs: bool = True):
+    """Fused decompose + raise + NTT + key inner product (small chains).
+
+    y_plain: uint32 (..., L, N) plain coeff-domain yhat values (already
+             multiplied by the digit-local CRT inverses).
+    key_a/key_b: uint32 (D, E, 2, N) Montgomery NTT-domain key stacks.
+    Returns (ks0, ks1): uint32 (..., E, 2, N) Montgomery NTT-domain digit
+    inner products over QP (before the P mod-down).
+    """
+    n = degree
+    r, c = _layout(n)
+    L = y_plain.shape[-2]
+    D, E = key_a.shape[0], key_a.shape[1]
+    lead = y_plain.shape[:-2]
+    y = y_plain.reshape(-1, L, r, c)
+    outer = y.shape[0]
+    s_count = n.bit_length() - 1
+
+    cst, cst_s, q, qinv, digit_size = _switch_consts(
+        tuple(base_moduli), tuple(ext_moduli), D
+    )
+    fwd_w, fwd_wp = _planes_cached(tuple(ext_moduli), n)[:2]
+
+    ka = key_a[..., 0, :].reshape(D, E, r, c)
+    kb = key_b[..., 0, :].reshape(D, E, r, c)
+
+    kernel = functools.partial(
+        _ks_kernel, n=n, r=r, c=c, num_digits=D,
+        digit_size=digit_size, num_base=L,
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, s_count, r, c), lambda j, o: (j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    key_spec = lambda: pl.BlockSpec(
+        (D, 1, r, c), lambda j, o: (0, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, r, c), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    ks0, ks1 = pl.pallas_call(
+        kernel,
+        grid=(E, outer),
+        in_specs=[
+            smem((E, 1)),
+            smem((E, 1)),
+            smem(cst.shape),
+            smem(cst_s.shape),
+            pl.BlockSpec(
+                (1, L, r, c), lambda j, o: (o, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            plane(),
+            plane(),
+            key_spec(),
+            key_spec(),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((outer, E, r, c), jnp.uint32),
+            jax.ShapeDtypeStruct((outer, E, r, c), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(q, qinv, cst, cst_s, y, fwd_w.reshape(E, s_count, r, c),
+      fwd_wp.reshape(E, s_count, r, c), ka, kb)
+
+    def finish(x):
+        x = x.reshape(*lead, E, n)
+        if stack_limbs:
+            return jnp.stack([x, jnp.zeros_like(x)], axis=-2)
+        return x
+
+    return finish(ks0), finish(ks1)

@@ -1,0 +1,165 @@
+"""Single-limb fast path for small-prime chains (all q < 2^31).
+
+The generic layer stores residues as uint32 (lo, hi) limb pairs stacked on
+a size-2 axis; for small chains the hi limbs are identically zero, yet the
+stacked layout still costs sublane padding on every elementwise pass and a
+slice + re-stack materialisation around every Pallas kernel call. This
+module runs whole composites (ct x ct multiply with hybrid gadget
+relinearization and rescale; rotation key switch) on bare lo planes
+(..., L, N), bit-exact with the generic path (same modular arithmetic,
+same operation order up to modular-addition commutativity).
+
+Everything here assumes Montgomery radix 2^32 and is dispatched only when
+``ntt_pallas.supported`` holds for the extended chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..context import CkksContext
+from .ntt_pallas import _layout, _planes_cached, _ntt_planes_call
+from .u64 import umul32
+
+# ── lo-plane modular primitives (q, consts broadcast as (L, 1)) ─────────────
+
+
+def _lo(col):
+    """(L, 2, 1) limb-column constant -> (L, 1) lo view."""
+    return col[:, 0]
+
+
+def add_lo(a, b, q):
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def sub_lo(a, b, q):
+    return jnp.where(a >= b, a - b, a + q - b)
+
+
+def mont_mul_lo(a, b, q, qinv):
+    """Montgomery product (R = 2^32): a*b*R^{-1} mod q, out in [0, q)."""
+    t_lo, t_hi = umul32(a, b)
+    m = t_lo * qinv
+    mq_lo, mq_hi = umul32(m, q)
+    s = t_lo + mq_lo
+    carry = (s < t_lo).astype(jnp.uint32)
+    res = t_hi + mq_hi + carry
+    return jnp.where(res >= q, res - q, res)
+
+
+def ntt_lo(a_lo, moduli: tuple, degree: int, inverse: bool,
+           interpret: bool = False):
+    """Fused Pallas NTT on bare lo planes (..., L, N)."""
+    fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached(
+        tuple(moduli), degree
+    )
+    w, wp = (inv_w, inv_wp) if inverse else (fwd_w, fwd_wp)
+    return _ntt_planes_call(
+        a_lo, w, wp, q, ninv, ninvp,
+        degree=degree, inverse=inverse, interpret=interpret,
+    )
+
+
+# ── composites ───────────────────────────────────────────────────────────────
+
+
+def rescale_ntt_lo(x, ctx: CkksContext, interpret: bool = False):
+    """NTT-domain exact rescale on lo planes: (..., L, N) -> (..., L-1, N)."""
+    num = x.shape[-2]
+    child = ctx.drop_last(1)
+    last_ctx = CkksContext.build((ctx.moduli[-1],), ctx.degree)
+    lc, cc = last_ctx.chain, child.chain
+
+    last = ntt_lo(
+        x[..., num - 1 :, :], last_ctx.moduli, ctx.degree, True, interpret
+    )
+    plain = mont_mul_lo(last, jnp.uint32(1), _lo(lc.q), _lo(lc.qinv))
+    bcast = jnp.broadcast_to(plain, x.shape[:-2] + (num - 1, x.shape[-1]))
+    mont = mont_mul_lo(bcast, _lo(cc.r2), _lo(cc.q), _lo(cc.qinv))
+    x_ntt = ntt_lo(mont, child.moduli, ctx.degree, False, interpret)
+    diff = sub_lo(x[..., : num - 1, :], x_ntt, _lo(cc.q))
+    return mont_mul_lo(diff, _lo(ctx.qlast_inv), _lo(cc.q), _lo(cc.qinv))
+
+
+def mod_down_lo(x, ctx: CkksContext, ext_ctx: CkksContext, plan,
+                interpret: bool = False):
+    """Divide NTT-domain lo planes over QP by P: (..., E, N) -> (..., L, N)."""
+    L = len(ctx.moduli)
+    E = x.shape[-2]
+    gp = E - L
+    sp_ctx = CkksContext.build(ext_ctx.moduli[L:], ctx.degree)
+    spc, bc = sp_ctx.chain, ctx.chain
+
+    x_sp = ntt_lo(x[..., L:, :], sp_ctx.moduli, ctx.degree, True, interpret)
+    yhat = mont_mul_lo(x_sp, _lo(plan.sp_inv), _lo(spc.q), _lo(spc.qinv))
+    acc = None
+    for m in range(gp):
+        term = mont_mul_lo(
+            yhat[..., m : m + 1, :], _lo(plan.phat_c[m]),
+            _lo(bc.q), _lo(bc.qinv),
+        )
+        acc = term if acc is None else add_lo(acc, term, _lo(bc.q))
+    ext_ntt = ntt_lo(acc, ctx.moduli, ctx.degree, False, interpret)
+    diff = sub_lo(x[..., :L, :], ext_ntt, _lo(bc.q))
+    return mont_mul_lo(diff, _lo(plan.p_inv), _lo(bc.q), _lo(bc.qinv))
+
+
+def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
+                         ctx: CkksContext, ext_ctx: CkksContext, plan,
+                         interpret: bool = False):
+    """Full batched multiply + hybrid gadget relin + rescale on lo planes.
+
+    Inputs (..., L, N) NTT-domain Montgomery lo planes; keys (D, E, 2, N).
+    Returns (out0, out1) with L-1 channels, NTT domain.
+    """
+    from .keyswitch_pallas import gadget_accumulate_pallas
+
+    bc = ctx.chain
+    q, qinv = _lo(bc.q), _lo(bc.qinv)
+    t0 = mont_mul_lo(c0a, c0b, q, qinv)
+    t1 = add_lo(
+        mont_mul_lo(c0a, c1b, q, qinv),
+        mont_mul_lo(c1a, c0b, q, qinv),
+        q,
+    )
+    t2 = mont_mul_lo(c1a, c1b, q, qinv)
+
+    d_coeff = ntt_lo(t2, ctx.moduli, ctx.degree, True, interpret)
+    y = mont_mul_lo(d_coeff, _lo(plan.dec_inv), q, qinv)  # plain yhat
+    ks0, ks1 = gadget_accumulate_pallas(
+        y, key_a, key_b,
+        base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
+        degree=ctx.degree, interpret=interpret, stack_limbs=False,
+    )
+    ks0 = mod_down_lo(ks0, ctx, ext_ctx, plan, interpret)
+    ks1 = mod_down_lo(ks1, ctx, ext_ctx, plan, interpret)
+    out0 = add_lo(t0, ks0, q)
+    out1 = add_lo(t1, ks1, q)
+    return (
+        rescale_ntt_lo(out0, ctx, interpret),
+        rescale_ntt_lo(out1, ctx, interpret),
+    )
+
+
+def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
+                  plan, interpret: bool = False):
+    """Hybrid gadget key switch of NTT-domain lo planes (..., L, N)."""
+    from .keyswitch_pallas import gadget_accumulate_pallas
+
+    bc = ctx.chain
+    d_coeff = ntt_lo(d, ctx.moduli, ctx.degree, True, interpret)
+    y = mont_mul_lo(d_coeff, _lo(plan.dec_inv), _lo(bc.q), _lo(bc.qinv))
+    ks0, ks1 = gadget_accumulate_pallas(
+        y, key_a, key_b,
+        base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
+        degree=ctx.degree, interpret=interpret, stack_limbs=False,
+    )
+    return (
+        mod_down_lo(ks0, ctx, ext_ctx, plan, interpret),
+        mod_down_lo(ks1, ctx, ext_ctx, plan, interpret),
+    )

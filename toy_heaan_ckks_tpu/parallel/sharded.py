@@ -36,7 +36,23 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
     (output has L-1 channels). All stages are lead-dim polymorphic, so the
     batch flows through as a leading axis — no vmap (vmap over pallas_call
     fragments the NTT grid and defeats its per-channel twiddle reuse).
+
+    Small-prime chains on TPU take the single-limb fast composite
+    (ops/small_fast.py): limbs are stripped once at entry and re-stacked at
+    exit, bit-exact with the generic path.
     """
+    if pops._use_pallas(ext_ctx):
+        from ..engine import _switch_plan
+        from ..ops import small_fast as sf
+
+        plan = _switch_plan(ctx.moduli, ext_ctx.moduli, key_a.shape[-4])
+        o0, o1 = sf.mul_relin_rescale_lo(
+            c0a[..., 0, :], c1a[..., 0, :], c0b[..., 0, :], c1b[..., 0, :],
+            key_a, key_b, ctx, ext_ctx, plan,
+        )
+        stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
+        return stack(o0), stack(o1)
+
     t0, t1 = _mul_gadget_core(
         c0a, c1a, c0b, c1b, key_a, key_b, ctx, ext_ctx
     )
