@@ -34,8 +34,23 @@ def reconstruct_centered(residues: np.ndarray, moduli: list[int]) -> np.ndarray:
     ``residues`` has shape (L, N) with residues[i][j] = a_j mod q_i (any
     integer dtype, or object). Returns an object-dtype array of N Python
     ints (exact, may exceed i64 when Q is large).
+
+    Routed through the native C++ multiword implementation when compiled
+    (toy_heaan_ckks_tpu/native/ckks_native.cpp); this pure-Python body is
+    the fallback and oracle.
     """
     moduli = [int(m) for m in moduli]
+    from .. import native
+
+    if native.available() and all(m < (1 << 63) for m in moduli):
+        return native.crt_reconstruct_centered(
+            np.asarray(residues, dtype=np.uint64)
+            if residues.dtype != object
+            else np.array(
+                [[int(x) for x in row] for row in residues], dtype=np.uint64
+            ),
+            moduli,
+        )
     big_q = 1
     for m in moduli:
         big_q *= m
@@ -62,6 +77,16 @@ def to_residues(coeffs: np.ndarray, moduli: list[int]) -> np.ndarray:
     (reference: src/rings/backends/rns_ntt/poly.rs:49-67).
     """
     coeffs = np.asarray(coeffs, dtype=object)
+    from .. import native
+
+    if native.available() and all(
+        isinstance(c, (int, np.integer)) and -(1 << 63) <= c < (1 << 63)
+        for c in coeffs.flat
+    ) and all(int(m) < (1 << 63) for m in moduli):
+        res = native.reduce_coeffs(
+            np.asarray([int(c) for c in coeffs], dtype=np.int64), moduli
+        )
+        return res.astype(object)
     out = np.empty((len(moduli), coeffs.shape[0]), dtype=object)
     for i, m in enumerate(moduli):
         out[i] = coeffs % int(m)

@@ -34,9 +34,18 @@ def _check_u64(n: int, name: str = "n") -> None:
         raise ValueError(f"{name} must fit in u64, got {n}")
 
 
+def _native():
+    from .. import native
+
+    return native if native.available() else None
+
+
 def is_prime(n: int) -> bool:
     """Deterministic Miller-Rabin primality test for u64 inputs."""
     _check_u64(n)
+    nat = _native()
+    if nat is not None:
+        return nat.is_prime_u64(n)
     if n in (0, 1):
         return False
     if n in (2, 3):
@@ -125,6 +134,14 @@ def get_first_prime_up(logq: int, n: int) -> int:
         raise ValueError("get_first_prime_up: n must be positive")
     step = 2 * n
     candidate = _snap_up_to_congruence((1 << logq) + 1, step)
+    nat = _native()
+    if nat is not None:
+        if is_prime(candidate):
+            return candidate
+        p = nat.first_prime_up(candidate, step)
+        if p == 0:
+            raise ValueError("get_first_prime_up: u64 overflow")
+        return p
     while True:
         _check_u64(candidate, "candidate")
         if is_prime(candidate):
@@ -139,6 +156,10 @@ def get_first_prime_down(bound: int, n: int) -> int | None:
     if bound <= 2:
         return None
     step = 2 * n
+    nat = _native()
+    if nat is not None:
+        p = nat.first_prime_down(bound, step)
+        return p if p else None
     candidate = _snap_down_to_congruence(bound - 1, step)
     while True:
         if candidate <= 2:

@@ -172,14 +172,19 @@ def encode_coeffs_to_device(coeffs, ctx: CkksContext) -> jnp.ndarray:
     Parity: RnsPoly::from_coeffs (reference poly.rs:49-67) — rem_euclid per
     channel — plus the Montgomery conversion that is our storage format.
     """
+    from ..math.crt import to_residues
+
     coeffs = np.asarray(coeffs, dtype=object)
     if coeffs.shape[-1] != ctx.degree:
         raise ValueError(
             f"expected {ctx.degree} coefficients, got {coeffs.shape[-1]}"
         )
-    res = np.empty((ctx.num_channels,) + coeffs.shape, dtype=object)
-    for i, q in enumerate(ctx.moduli):
-        res[i] = coeffs % q
+    if coeffs.ndim == 1:
+        res = to_residues(coeffs, list(ctx.moduli))
+    else:
+        res = np.empty((ctx.num_channels,) + coeffs.shape, dtype=object)
+        for i, q in enumerate(ctx.moduli):
+            res[i] = coeffs % q
     packed = jnp.asarray(mm.pack_residues(res))
     return mm.to_mont(packed, ctx.chain)
 
