@@ -1,0 +1,126 @@
+"""Serialization round-trips, mod_switch, parameter doctrine, profiling."""
+
+import numpy as np
+import pytest
+
+from toy_heaan_ckks_tpu import (
+    CkksContext,
+    CkksEncoder,
+    CkksEngine,
+    CkksParams,
+    generate_primes,
+)
+from toy_heaan_ckks_tpu.math.sampling import make_rng
+from toy_heaan_ckks_tpu.utils import serialization as ser
+from toy_heaan_ckks_tpu.utils.params import MAX_LOGQP_128, build_modulus_chain
+from toy_heaan_ckks_tpu.utils.profiling import (
+    Stopwatch,
+    mult_op_counts,
+    ntt_butterfly_count,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    degree = 64
+    ctx = CkksContext.build(generate_primes(30, 4, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(7)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    rlk = eng.generate_gadget_relin_key(sk, rng, digit_size=2)
+    rotk = eng.generate_gadget_rotation_key(sk, 1, rng, digit_size=2)
+    enc = CkksEncoder(degree, 30)
+    return ctx, eng, sk, pk, rlk, rotk, enc
+
+
+def test_ciphertext_roundtrip(tmp_path, setup):
+    ctx, eng, sk, pk, rlk, rotk, enc = setup
+    vals = np.linspace(-1, 1, ctx.degree // 2)
+    ct = eng.encrypt(enc.encode(vals, ctx), pk, ctx.total_bits(), make_rng(1))
+    p = str(tmp_path / "ct.npz")
+    ser.save_ciphertext(p, ct)
+    ct2 = ser.load_ciphertext(p)
+    assert ct2.logp == ct.logp and ct2.logq == ct.logq
+    np.testing.assert_array_equal(
+        np.asarray(ct.c0.data), np.asarray(ct2.c0.data)
+    )
+    out = enc.decode(eng.decrypt(ct2, sk))
+    np.testing.assert_allclose(out[: len(vals)], vals, atol=1e-3)
+
+
+def test_key_roundtrips(tmp_path, setup):
+    ctx, eng, sk, pk, rlk, rotk, enc = setup
+    ser.save_secret_key(str(tmp_path / "sk.npz"), sk)
+    sk2 = ser.load_secret_key(str(tmp_path / "sk.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(sk.poly.data), np.asarray(sk2.poly.data)
+    )
+    ser.save_public_key(str(tmp_path / "pk.npz"), pk)
+    pk2 = ser.load_public_key(str(tmp_path / "pk.npz"))
+    np.testing.assert_array_equal(np.asarray(pk.a.data), np.asarray(pk2.a.data))
+
+    ser.save_relin_key(str(tmp_path / "rlk.npz"), rlk)
+    rlk2 = ser.load_relin_key(str(tmp_path / "rlk.npz"))
+    assert rlk2.digit_size == rlk.digit_size
+    assert rlk2.ext_ctx.moduli == rlk.ext_ctx.moduli
+    np.testing.assert_array_equal(np.asarray(rlk.b), np.asarray(rlk2.b))
+
+    ser.save_rotation_key(str(tmp_path / "rot.npz"), rotk)
+    rot2 = ser.load_rotation_key(str(tmp_path / "rot.npz"))
+    assert rot2.rotation == rotk.rotation
+
+    # loaded relin key still relinearizes correctly end-to-end
+    vals = np.linspace(0.1, 0.9, ctx.degree // 2)
+    ct = eng.encrypt(enc.encode(vals, ctx), pk2, ctx.total_bits(), make_rng(2))
+    prod = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ct, ct, rlk2))
+    out = enc.decode(eng.decrypt(prod, sk2.reduce_to(prod.ctx)))
+    np.testing.assert_allclose(out[: len(vals)], vals**2, atol=1e-3)
+
+
+def test_mod_switch(setup):
+    ctx, eng, sk, pk, rlk, rotk, enc = setup
+    vals = np.linspace(-0.5, 0.5, ctx.degree // 2)
+    ct = eng.encrypt(enc.encode(vals, ctx), pk, ctx.total_bits(), make_rng(3))
+    sw = ct.mod_switch(1)
+    assert sw.level == ct.level - 1
+    assert sw.logp == ct.logp
+    assert sw.logq == ct.logq - ctx.moduli[-1].bit_length()
+    out = enc.decode(eng.decrypt(sw, sk.reduce_to(sw.ctx)))
+    np.testing.assert_allclose(out[: len(vals)], vals, atol=1e-3)
+    with pytest.raises(ValueError):
+        ct.mod_switch(ctx.num_channels)
+
+
+def test_build_modulus_chain():
+    plan = build_modulus_chain(1024, scale_bits=30, depth=3, first_bits=40)
+    assert len(plan.moduli) == 4
+    assert plan.moduli[0].bit_length() == 40
+    for p in plan.moduli[1:]:
+        assert abs(p - (1 << 30)) < (1 << 22)  # scale-matched
+        assert p % (2 * 1024) == 1  # NTT-friendly
+    assert len(set(plan.moduli)) == 4
+    # chain is usable end-to-end
+    ctx = CkksContext.build(plan.moduli, 1024)
+    assert ctx.num_channels == 4
+
+    with pytest.raises(ValueError):
+        build_modulus_chain(
+            1024, scale_bits=30, depth=10, first_bits=60,
+            enforce_security=True,
+        )
+    assert MAX_LOGQP_128[1024] == 27
+
+
+def test_op_counts():
+    assert ntt_butterfly_count(16, 1) == 8 * 4
+    c = mult_op_counts(1 << 14, 8, 4)
+    assert c["channel_ntts"] == 8 + 2 * 12 + 2 * 12 + 2 * 8
+    assert c["butterflies"] == (1 << 13) * 14 * c["channel_ntts"]
+
+
+def test_stopwatch():
+    sw = Stopwatch()
+    with sw.lap():
+        sum(range(1000))
+    assert sw.best >= 0.0

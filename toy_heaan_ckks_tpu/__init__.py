@@ -28,6 +28,10 @@ from .math.primes import (
 )
 from .ops.poly import Poly
 from .types import Ciphertext, Plaintext
+from . import native
+from .keys import KeyLadder
+from .utils import serialization
+from .utils.params import build_modulus_chain
 
 __version__ = "0.1.0"
 
@@ -47,9 +51,13 @@ __all__ = [
     "RotationKey",
     "SecretKey",
     "SecretKeyParams",
+    "KeyLadder",
+    "build_modulus_chain",
     "generate_primes",
     "get_first_prime_down",
     "get_first_prime_up",
     "is_ntt_friendly_prime",
     "is_prime",
+    "native",
+    "serialization",
 ]

@@ -71,6 +71,43 @@ class CkksEncoder:
             slots=slots,
         )
 
+    # ── sparse (gap) packing ─────────────────────────────────────────────
+
+    def encode_sparse(self, values, ctx: CkksContext) -> Plaintext:
+        """Sparse packing: n < N/2 slots via the subring map X -> X^gap.
+
+        The n values are encoded in the degree-2n mini-ring and the mini
+        coefficients are spread at stride gap = N/(2n), so at most 2n
+        coefficients of the degree-N polynomial are nonzero — the
+        "gap-based indexing" of the HEAAN golden data
+        (reference: data/golden_encode_light.json, coefficient_pattern).
+        Because 5^j mod 4n walks the mini-ring's root order, the full-width
+        slot reading of a sparse plaintext is the n values cyclically
+        repeated N/(2n) times; decoding with pt.slots = n recovers exactly
+        the inputs. Compatible with every homomorphic op (the subring is
+        closed under add/mul/automorphism).
+        """
+        values = np.asarray(values, dtype=np.complex128)
+        n_slots = values.shape[-1]
+        if n_slots & (n_slots - 1) or n_slots < 1:
+            raise ValueError("encode_sparse: slot count must be a power of two")
+        if 2 * n_slots > self.degree:
+            raise ValueError("encode_sparse: too many slots for this degree")
+        mini_deg = 2 * n_slots
+        gap = self.degree // mini_deg
+        slot_vec = build_conjugate_slots(
+            values * self.scale_factor, mini_deg
+        )
+        mini_coeffs = embed_encode(slot_vec, mini_deg)
+        int_coeffs = np.zeros(self.degree, dtype=object)
+        for i, c in enumerate(np.round(mini_coeffs.real)):
+            int_coeffs[i * gap] = int(c)
+        return Plaintext(
+            poly=Poly.from_coeffs(int_coeffs, ctx),
+            scale_bits=self.scale_bits,
+            slots=n_slots,
+        )
+
     # ── decoding ─────────────────────────────────────────────────────────
 
     def decode(self, pt: Plaintext) -> np.ndarray:

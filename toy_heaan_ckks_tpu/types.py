@@ -38,3 +38,25 @@ class Ciphertext:
     @property
     def level(self) -> int:
         return self.c0.ctx.num_channels
+
+    def mod_switch(self, levels: int = 1) -> "Ciphertext":
+        """Drop the top ``levels`` RNS channels WITHOUT dividing (modulus
+        switch). logq shrinks by the dropped primes' bits; logp unchanged.
+
+        Implements the reference's declared-but-unimplemented
+        ``Ciphertext::mod_switch`` / ``PolyModSwitch`` trait
+        (reference: src/crypto/types.rs:44-68, src/rings/traits.rs:129-164
+        — no concrete impl exists upstream; SURVEY.md §2.2).
+        """
+        ctx = self.ctx
+        if levels < 1 or levels >= ctx.num_channels:
+            raise ValueError("mod_switch: invalid level count")
+        dropped_bits = sum(
+            m.bit_length() for m in ctx.moduli[-levels:]
+        )
+        return Ciphertext(
+            c0=self.c0.mod_drop_last(levels),
+            c1=self.c1.mod_drop_last(levels),
+            logp=self.logp,
+            logq=self.logq - dropped_bits,
+        )
