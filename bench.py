@@ -29,9 +29,9 @@ DEGREE = 1 << 14
 NUM_PRIMES = 8
 PRIME_BITS = 31
 DIGIT_SIZE = 4  # hybrid key-switch digit size (4 channels/digit, 4 specials)
-BATCH = 4
-WARMUP = 3
-ITERS = 20
+BATCH = 32  # throughput knee: twiddle/key fetches amortise across the batch
+WARMUP = 2
+ITERS = 6
 
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
@@ -84,20 +84,22 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
 
     c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
 
-    def body(i, carry):
-        a = c0a.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
-        out = _mul_relin_rescale_arrays(
-            a, c1a, c0b, c1b, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
-        )
-        return out[0]
+    @jax.jit
+    def fn(a0, a1, b0, b1):
+        def body(i, carry):
+            a = a0.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
+            out = _mul_relin_rescale_arrays(
+                a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
+            )
+            return out[0]
 
-    init = jnp.zeros(
-        (batch, NUM_PRIMES - 1, 2, DEGREE), dtype=jnp.uint32
-    )
-    fn = jax.jit(lambda: jax.lax.fori_loop(0, iters, body, init))
+        init = jnp.zeros(
+            (batch, NUM_PRIMES - 1, 2, DEGREE), dtype=jnp.uint32
+        )
+        return jax.lax.fori_loop(0, iters, body, init)
 
     for _ in range(warmup):
-        out = fn()
+        out = fn(c0a, c1a, c0b, c1b)
     out.block_until_ready()
 
     # The tunnel's dispatch latency varies over time; take the best of
@@ -105,7 +107,7 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
     reps = []
     for _ in range(5 if iters > 2 else 1):
         t0 = time.time()
-        out = fn()
+        out = fn(c0a, c1a, c0b, c1b)
         out.block_until_ready()
         reps.append((time.time() - t0) / (iters * batch))
     return min(reps)

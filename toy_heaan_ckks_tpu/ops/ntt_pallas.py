@@ -58,7 +58,14 @@ def _layout(n: int) -> tuple[int, int]:
 
 
 def supported(degree: int, small: bool) -> bool:
-    return small and degree >= 1024 and degree & (degree - 1) == 0
+    """Small chains, power-of-two N in [2^10, 2^15]. Above 2^15 the
+    expanded twiddle planes exceed VMEM (the N=2^16 compile fails); the
+    staged jnp path takes over there."""
+    return (
+        small
+        and 1024 <= degree <= (1 << 15)
+        and degree & (degree - 1) == 0
+    )
 
 
 # ── host-side twiddle plane expansion ────────────────────────────────────────
