@@ -31,7 +31,7 @@ PRIME_BITS = 31
 DIGIT_SIZE = 4  # hybrid key-switch digit size (4 channels/digit, 4 specials)
 BATCH = 32  # throughput knee: twiddle/key fetches amortise across the batch
 WARMUP = 2
-ITERS = 6
+ITERS = 32  # marginal loop length: keeps chip time >> tunnel flush jitter
 
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
@@ -40,11 +40,14 @@ _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _measure(batch: int, iters: int, warmup: int) -> float:
     """Seconds per single mult(relin+rescale), amortised over the batch.
 
-    The ``iters`` multiplies run *on device* inside one jitted
-    ``lax.fori_loop`` (one host dispatch per timing rep), so the number
-    measures the chip, not the host/tunnel dispatch latency. The loop
-    carry perturbs the next iteration's input, preventing XLA from
-    hoisting the loop body.
+    The multiplies run *on device* inside one jitted ``lax.fori_loop``
+    and the reported time is the MARGINAL cost between a long and a short
+    loop, with a device->host value fetch forcing completion: on this
+    tunneled runtime ``block_until_ready`` can return before execution
+    finishes and every round trip carries a large fixed latency, so only
+    (t_long - t_short) / (iters_long - iters_short) measures the chip.
+    The loop carry perturbs the next iteration's input, preventing XLA
+    from hoisting the body.
     """
     import jax
 
@@ -84,8 +87,12 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
 
     c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
 
-    @jax.jit
-    def fn(a0, a1, b0, b1):
+    import functools
+
+    import numpy as np
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def fn(a0, a1, b0, b1, n_iters):
         def body(i, carry):
             a = a0.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
             out = _mul_relin_rescale_arrays(
@@ -96,21 +103,24 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
         init = jnp.zeros(
             (batch, NUM_PRIMES - 1, 2, DEGREE), dtype=jnp.uint32
         )
-        return jax.lax.fori_loop(0, iters, body, init)
+        return jax.lax.fori_loop(0, n_iters, body, init)
+
+    short, long_ = 1, 1 + iters
+
+    def timed(n_iters):
+        t0 = time.time()
+        out = fn(c0a, c1a, c0b, c1b, n_iters)
+        np.asarray(out[0, 0, 0, :4])  # forces completion (sync fetch)
+        return time.time() - t0
 
     for _ in range(warmup):
-        out = fn(c0a, c1a, c0b, c1b)
-    out.block_until_ready()
+        timed(short)
+        timed(long_)
 
-    # The tunnel's dispatch latency varies over time; take the best of
-    # several single-dispatch reps (closest to the chip's capability).
-    reps = []
-    for _ in range(5 if iters > 2 else 1):
-        t0 = time.time()
-        out = fn(c0a, c1a, c0b, c1b)
-        out.block_until_ready()
-        reps.append((time.time() - t0) / (iters * batch))
-    return min(reps)
+    n_reps = 3 if iters > 2 else 1
+    t_short = statistics.median(timed(short) for _ in range(n_reps))
+    t_long = statistics.median(timed(long_) for _ in range(n_reps))
+    return max(t_long - t_short, 1e-9) / ((long_ - short) * batch)
 
 
 def _cpu_baseline_sec_per_mult() -> float | None:

@@ -166,7 +166,12 @@ def default_special_primes(ctx: CkksContext, count: int = 1) -> tuple[int, ...]:
     the raised chain keeps the fast 32-bit Montgomery path; otherwise they
     get one extra bit up to the 63-bit Montgomery budget."""
     bits = max(m.bit_length() for m in ctx.moduli)
-    if ctx.chain.small:
+    if ctx.chain.small and bits <= 30:
+        # keep the raised chain under 2^30 so the lazy-reduction NTT
+        # kernels stay eligible; specials may be marginally below max(q)
+        # (P ~ Q_t, the few lost bits are absorbed by the noise budget)
+        bound, min_bits = 1 << 30, bits - 1
+    elif ctx.chain.small:
         bound, min_bits = 1 << 31, bits
     else:
         bound, min_bits = 1 << min(63, bits + 1), bits

@@ -32,11 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .ntt_pallas import (
     _add_mod,
     _butterfly_args,
+    _fwd_stage_lazy,
     _harvey_mul,
     _layout,
     _planes_cached,
+    _reduce_2q_q,
     _shift,
     _sub_mod,
+    lazy_ok,
 )
 
 
@@ -103,25 +106,31 @@ def _switch_consts(base_moduli: tuple, ext_moduli: tuple, num_digits: int):
     return c, cs, q, qinv, digit_size
 
 
-def _fwd_stages(x, w_ref, wp_ref, q, n: int, r: int, c: int):
+def _fwd_stages(x, w_ref, wp_ref, q, n: int, r: int, c: int,
+                lazy: bool = False):
     """All forward butterfly stages on a VMEM-resident plane."""
     for s in range(n.bit_length() - 1):
         d = n >> (s + 1)
         axis, amount, mask = _butterfly_args(n, r, c, d)
         w = w_ref[0, s].reshape(r, c)
         wp = wp_ref[0, s].reshape(r, c)
+        if lazy:
+            x = _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
+            continue
         v_at_u = _shift(x, amount, axis)
         u_at_v = _shift(x, -amount, axis)
         operand = jnp.where(mask, v_at_u, x)
         wv = _harvey_mul(operand, w, wp, q)
         x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+    if lazy:
+        x = _reduce_2q_q(x, q)  # canonical [0, q) into the key REDC
     return x
 
 
 def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
                ka_ref, kb_ref, o0_ref, o1_ref,
                *, n: int, r: int, c: int, num_digits: int,
-               digit_size: int, num_base: int):
+               digit_size: int, num_base: int, lazy: bool):
     j = pl.program_id(0)
     q = q_ref[j, 0]
     qinv = qinv_ref[j, 0]
@@ -137,7 +146,7 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
                 y_ref[0, k], c_ref[k, j], cs_ref[k, j], q
             )
             x = term if x is None else _add_mod(x, term, q)
-        x = _fwd_stages(x, w_ref, wp_ref, q, n, r, c)
+        x = _fwd_stages(x, w_ref, wp_ref, q, n, r, c, lazy)
         acc0 = _add_mod(acc0, _mont_redc(x, kb_ref[t, 0], q, qinv), q)
         acc1 = _add_mod(acc1, _mont_redc(x, ka_ref[t, 0], q, qinv), q)
     o0_ref[0, 0] = acc0
@@ -181,7 +190,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
 
     kernel = functools.partial(
         _ks_kernel, n=n, r=r, c=c, num_digits=D,
-        digit_size=digit_size, num_base=L,
+        digit_size=digit_size, num_base=L, lazy=lazy_ok(ext_moduli),
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM

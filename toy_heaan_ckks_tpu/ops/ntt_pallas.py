@@ -153,6 +153,12 @@ def _harvey_mul(x, w, wp, q):
     return jnp.where(r >= q, r - q, r)
 
 
+def _harvey_mul_lazy(x, w, wp, q):
+    """Harvey modmul WITHOUT the final reduction: output in [0, 2q)."""
+    h = _umul32_hi(x, wp)
+    return x * w - h * q
+
+
 def _add_mod(a, b, q):
     s = a + b
     return jnp.where(s >= q, s - q, s)
@@ -188,8 +194,41 @@ def _butterfly_args(n: int, r: int, c: int, d: int):
     return axis, amount, _mask_u(r, c, d)
 
 
+def _fwd_stage_lazy(x, w, wp, q, axis: int, amount: int, mask):
+    """Forward butterfly, Harvey-lazy: [0, 4q) invariant, q < 2^30.
+
+    The partner value feeding the twiddle multiply may be unreduced (any
+    u32 is a valid Harvey input); only the 'u' operand of the add/sub is
+    conditionally brought below 2q, so each stage costs one conditional
+    subtract instead of three.
+    """
+    xr = jnp.where(x >= 2 * q, x - 2 * q, x)  # < 2q
+    v_at_u = _shift(x, amount, axis)  # partner (unreduced)
+    u_at_v = _shift(xr, -amount, axis)  # reduced u at v positions
+    operand = jnp.where(mask, v_at_u, x)
+    t = _harvey_mul_lazy(operand, w, wp, q)  # < 2q
+    return jnp.where(mask, xr + t, u_at_v + 2 * q - t)  # < 4q
+
+
+def _inv_stage_lazy(x, w, wp, q, axis: int, amount: int, mask):
+    """Inverse (GS) butterfly, Harvey-lazy: [0, 2q) invariant."""
+    v_at_u = _shift(x, amount, axis)
+    u_at_v = _shift(x, -amount, axis)
+    total = x + v_at_u  # < 4q at u positions
+    total = jnp.where(total >= 2 * q, total - 2 * q, total)
+    diff = u_at_v + 2 * q - x  # < 4q at v positions
+    t = _harvey_mul_lazy(diff, w, wp, q)  # < 2q
+    return jnp.where(mask, total, t)
+
+
+def _reduce_2q_q(x, q):
+    """[0, 4q) -> canonical [0, q)."""
+    x = jnp.where(x >= 2 * q, x - 2 * q, x)
+    return jnp.where(x >= q, x - q, x)
+
+
 def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
-                *, n: int, r: int, c: int, inverse: bool):
+                *, n: int, r: int, c: int, inverse: bool, lazy: bool):
     ch = pl.program_id(0)
     q = q_ref[ch, 0]
     x = x_ref[0, 0]
@@ -200,6 +239,12 @@ def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
         axis, amount, mask = _butterfly_args(n, r, c, d)
         w = w_ref[0, s].reshape(r, c)
         wp = wp_ref[0, s].reshape(r, c)
+        if lazy and inverse:
+            x = _inv_stage_lazy(x, w, wp, q, axis, amount, mask)
+            continue
+        if lazy:
+            x = _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
+            continue
         v_at_u = _shift(x, amount, axis)  # x[p + d]
         u_at_v = _shift(x, -amount, axis)  # x[p - d]
         if inverse:
@@ -213,7 +258,11 @@ def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
                 mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q)
             )
     if inverse:
+        # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
+        # canonicalises to [0, q) in both modes
         x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
+    elif lazy:
+        x = _reduce_2q_q(x, q)
     o_ref[0, 0] = x
 
 
@@ -221,10 +270,11 @@ def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("degree", "inverse", "interpret")
+    jax.jit, static_argnames=("degree", "inverse", "interpret", "lazy")
 )
 def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
-                     inverse: bool, interpret: bool = False):
+                     inverse: bool, interpret: bool = False,
+                     lazy: bool = False):
     """lo: uint32 (..., L, N) Montgomery residues -> same shape/order."""
     n = degree
     r, c = _layout(n)
@@ -235,7 +285,7 @@ def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
     s_count = n.bit_length() - 1
 
     kernel = functools.partial(
-        _ntt_kernel, n=n, r=r, c=c, inverse=inverse
+        _ntt_kernel, n=n, r=r, c=c, inverse=inverse, lazy=lazy
     )
     smem = lambda: pl.BlockSpec(
         (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
@@ -288,5 +338,11 @@ def ntt_pallas(data: jnp.ndarray, moduli: tuple[int, ...], degree: int,
     out_lo = _ntt_planes_call(
         lo, w_planes, wp_planes, q, ninv, ninvp,
         degree=degree, inverse=inverse, interpret=interpret,
+        lazy=lazy_ok(moduli),
     )
     return jnp.stack([out_lo, jnp.zeros_like(out_lo)], axis=-2)
+
+
+def lazy_ok(moduli) -> bool:
+    """Harvey lazy reduction needs 4q < 2^32 for every modulus."""
+    return all(int(m) < (1 << 30) for m in moduli)

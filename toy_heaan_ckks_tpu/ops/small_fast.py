@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..context import CkksContext
-from .ntt_pallas import _layout, _planes_cached, _ntt_planes_call
+from .ntt_pallas import _layout, _planes_cached, _ntt_planes_call, lazy_ok
 from .u64 import umul32
 
 # ── lo-plane modular primitives (q, consts broadcast as (L, 1)) ─────────────
@@ -62,6 +62,7 @@ def ntt_lo(a_lo, moduli: tuple, degree: int, inverse: bool,
     return _ntt_planes_call(
         a_lo, w, wp, q, ninv, ninvp,
         degree=degree, inverse=inverse, interpret=interpret,
+        lazy=lazy_ok(moduli),
     )
 
 
