@@ -161,6 +161,33 @@ def _switch_plan(
         )
 
 
+@functools.lru_cache(maxsize=128)
+def _combined_down_consts(base_moduli: tuple[int, ...],
+                          ext_moduli: tuple[int, ...]):
+    """Constants for the fused relin+rescale division by P * q_last.
+
+    The tensor terms t0/t1 (over Q) are scaled by P = prod(specials) so
+    they share the key-switch accumulator's scale; the sum is then divided
+    by P * q_last in ONE RNS mod-down to the child basis — saving a full
+    separate rescale (2 * L channel-NTTs per multiply). Returns
+    (p_mont, down_plan): Montgomery(P mod q_j) columns (L, 2, 1) over the
+    base channels, and the mod-down plan for base' = moduli[:-1] with
+    dropped channels (q_last, specials...) — which is exactly the tail of
+    the extended chain's channel order.
+    """
+    L = len(base_moduli)
+    specials = ext_moduli[L:]
+    p_total = 1
+    for p in specials:
+        p_total *= p
+    small = all(m < (1 << 31) for m in ext_moduli)
+    rbits = 32 if small else 64
+    p_mont = [((p_total % q) << rbits) % q for q in base_moduli]
+    down_plan = _switch_plan(base_moduli[:-1], ext_moduli, 1)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(_pack_u64_cols(p_mont)), down_plan
+
+
 def _mod_down_ntt(x, ctx: CkksContext, ext_ctx: CkksContext, plan: _SwitchPlan):
     """Divide an NTT-domain poly over QP by P = prod(specials): QP -> Q.
 
@@ -212,6 +239,20 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksConte
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(ks0), stack(ks1)
 
+    ks0, ks1 = _gadget_accumulate(d_ntt, key_a, key_b, ctx, ext_ctx, plan)
+    return (
+        _mod_down_ntt(ks0, ctx, ext_ctx, plan),
+        _mod_down_ntt(ks1, ctx, ext_ctx, plan),
+    )
+
+
+def _gadget_accumulate(d_ntt, key_a, key_b, ctx: CkksContext,
+                       ext_ctx: CkksContext, plan: _SwitchPlan):
+    """Digit inner products over QP (NTT domain), before the P mod-down."""
+    L = d_ntt.shape[-3]
+    D = plan.num_digits
+    g = plan.digit_size
+
     d_coeff = pops.to_coeff(d_ntt, ctx)
     y = mm.mont_mul(d_coeff, plan.dec_inv, ctx.chain)  # plain y_k in [0,q_k)
 
@@ -234,10 +275,7 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksConte
     alpha_ntt = pops.to_ntt(acc, ext_ctx)
     ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ext_ctx.chain), ext_ctx.chain)
     ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ext_ctx.chain), ext_ctx.chain)
-    return (
-        _mod_down_ntt(ks0, ctx, ext_ctx, plan),
-        _mod_down_ntt(ks1, ctx, ext_ctx, plan),
-    )
+    return ks0, ks1
 
 
 @jax.jit

@@ -116,11 +116,15 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
     """Full batched multiply + hybrid gadget relin + rescale on lo planes.
 
     Inputs (..., L, N) NTT-domain Montgomery lo planes; keys (D, E, 2, N).
-    Returns (out0, out1) with L-1 channels, NTT domain.
+    Returns (out0, out1) with L-1 channels, NTT domain. The relin mod-down
+    and ciphertext rescale are fused into one division by P * q_last (see
+    parallel/sharded.py — bit-exact with the generic composite).
     """
+    from ..engine import _combined_down_consts
     from .keyswitch_pallas import gadget_accumulate_pallas
 
     bc = ctx.chain
+    L = len(ctx.moduli)
     q, qinv = _lo(bc.q), _lo(bc.qinv)
     t0 = mont_mul_lo(c0a, c0b, q, qinv)
     t1 = add_lo(
@@ -137,14 +141,17 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, interpret=interpret, stack_limbs=False,
     )
-    ks0 = mod_down_lo(ks0, ctx, ext_ctx, plan, interpret)
-    ks1 = mod_down_lo(ks1, ctx, ext_ctx, plan, interpret)
-    out0 = add_lo(t0, ks0, q)
-    out1 = add_lo(t1, ks1, q)
-    return (
-        rescale_ntt_lo(out0, ctx, interpret),
-        rescale_ntt_lo(out1, ctx, interpret),
-    )
+
+    p_mont, down_plan = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
+    child = ctx.drop_last(1)
+
+    def combine(t, ks):
+        t_p = mont_mul_lo(t, _lo(p_mont), q, qinv)
+        head = add_lo(t_p, ks[..., :L, :], q)
+        x = jnp.concatenate([head, ks[..., L:, :]], axis=-2)
+        return mod_down_lo(x, child, ext_ctx, down_plan, interpret)
+
+    return combine(t0, ks0), combine(t1, ks1)
 
 
 def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,

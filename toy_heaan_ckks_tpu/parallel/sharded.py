@@ -37,12 +37,26 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
     batch flows through as a leading axis — no vmap (vmap over pallas_call
     fragments the NTT grid and defeats its per-channel twiddle reuse).
 
+    The relinearization mod-down and the ciphertext rescale are FUSED into
+    one division by P * q_last: the tensor terms are scaled by P (pointwise)
+    and added to the raw key-switch accumulators, then a single RNS
+    mod-down drops (q_last, specials...) — 2L fewer channel-NTTs per
+    multiply than the sequential engine path, identical up to the O(1)
+    rounding the rescale already carries.
+
     Small-prime chains on TPU take the single-limb fast composite
     (ops/small_fast.py): limbs are stripped once at entry and re-stacked at
-    exit, bit-exact with the generic path.
+    exit, bit-exact with this generic path.
     """
+    from ..engine import (
+        _combined_down_consts,
+        _gadget_accumulate,
+        _mod_down_ntt,
+        _switch_plan,
+    )
+    from ..ops import modular as mm
+
     if pops._use_pallas(ext_ctx):
-        from ..engine import _switch_plan
         from ..ops import small_fast as sf
 
         plan = _switch_plan(ctx.moduli, ext_ctx.moduli, key_a.shape[-4])
@@ -53,10 +67,26 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(o0), stack(o1)
 
-    t0, t1 = _mul_gadget_core(
-        c0a, c1a, c0b, c1b, key_a, key_b, ctx, ext_ctx
+    L = ctx.num_channels
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, key_a.shape[-4])
+    p_mont, down_plan = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
+
+    t0 = mm.mont_mul(c0a, c0b, ctx.chain)
+    t1 = mm.add_mod(
+        mm.mont_mul(c0a, c1b, ctx.chain),
+        mm.mont_mul(c1a, c0b, ctx.chain),
+        ctx.chain,
     )
-    return pops.rescale_ntt(t0, ctx), pops.rescale_ntt(t1, ctx)
+    t2 = mm.mont_mul(c1a, c1b, ctx.chain)
+    ks0, ks1 = _gadget_accumulate(t2, key_a, key_b, ctx, ext_ctx, plan)
+
+    def combine(t, ks):
+        t_p = mm.mont_mul(t, p_mont, ctx.chain)
+        head = mm.add_mod(t_p, ks[..., :L, :, :], ctx.chain)
+        x = jnp.concatenate([head, ks[..., L:, :, :]], axis=-3)
+        return _mod_down_ntt(x, child_ctx, ext_ctx, down_plan)
+
+    return combine(t0, ks0), combine(t1, ks1)
 
 
 def batched_mul_relin_rescale(ct_batch_a, ct_batch_b, rlk, ctx, child_ctx):
