@@ -95,8 +95,10 @@ class CkksContext:
         return len(self.moduli)
 
     def drop_last(self, count: int = 1) -> "CkksContext":
+        from .errors import InvalidModDrop
+
         if count >= len(self.moduli):
-            raise ValueError("drop_last: cannot drop all channels")
+            raise InvalidModDrop("drop_last: cannot drop all channels")
         return CkksContext.build(self.moduli[:-count], self.degree)
 
     def total_bits(self) -> int:

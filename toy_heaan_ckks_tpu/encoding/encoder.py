@@ -25,10 +25,12 @@ from .embedding import build_conjugate_slots, embed_decode, embed_encode
 
 class CkksEncoder:
     def __init__(self, degree: int, scale_bits: int):
+        from ..errors import EncodingError, InvalidDegree
+
         if degree & (degree - 1) or degree < 2:
-            raise ValueError("CkksEncoder: degree must be a power of two")
+            raise InvalidDegree("CkksEncoder: degree must be a power of two")
         if scale_bits <= 0:
-            raise ValueError("CkksEncoder: scale_bits must be positive")
+            raise EncodingError("CkksEncoder: scale_bits must be positive")
         self.degree = degree
         self.scale_bits = scale_bits
 
@@ -54,12 +56,14 @@ class CkksEncoder:
         return self._encode_inner(values * self.scale_factor, len(values), ctx)
 
     def _encode_inner(self, scaled, slots: int, ctx: CkksContext) -> Plaintext:
+        from ..errors import EncodingError
+
         if len(scaled) > self.max_slots:
-            raise ValueError(
+            raise EncodingError(
                 f"encode: {len(scaled)} values exceed max slots {self.max_slots}"
             )
         if ctx.degree != self.degree:
-            raise ValueError("encode: context degree mismatch")
+            raise EncodingError("encode: context degree mismatch")
         slot_vec = build_conjugate_slots(scaled, self.degree)
         coeffs = embed_encode(slot_vec, self.degree)
         int_coeffs = np.array(

@@ -71,10 +71,16 @@ class ModulusChain:
 
     @staticmethod
     def build(moduli) -> "ModulusChain":
+        from ..errors import EmptyBasis, NonNttFriendlyModulus
+
         moduli = tuple(int(m) for m in moduli)
+        if not moduli:
+            raise EmptyBasis("modulus chain must contain at least one prime")
         for m in moduli:
             if m % 2 == 0 or m >= (1 << 63):
-                raise ValueError(f"modulus {m} must be odd and < 2^63")
+                raise NonNttFriendlyModulus(
+                    f"modulus {m} must be odd and < 2^63"
+                )
         small = all(m < (1 << 31) for m in moduli)
         radix = (1 << 32) if small else R
         qinv = [(-pow(m, -1, radix)) % radix for m in moduli]
@@ -105,8 +111,10 @@ class ModulusChain:
         return len(self.moduli)
 
     def drop_last(self, count: int = 1) -> "ModulusChain":
+        from ..errors import InvalidModDrop
+
         if count >= len(self.moduli):
-            raise ValueError("drop_last: cannot drop all channels")
+            raise InvalidModDrop("drop_last: cannot drop all channels")
         keep = len(self.moduli) - count
         return ModulusChain(
             moduli=self.moduli[:keep],

@@ -106,11 +106,13 @@ class NttTables:
 
     @staticmethod
     def build(chain: ModulusChain, degree: int) -> "NttTables":
+        from ..errors import InvalidDegree, NonNttFriendlyModulus
+
         if degree & (degree - 1) or degree < 2:
-            raise ValueError("NTT degree must be a power of two >= 2")
+            raise InvalidDegree("NTT degree must be a power of two >= 2")
         for q in chain.moduli:
             if (q - 1) % (2 * degree) != 0:
-                raise ValueError(
+                raise NonNttFriendlyModulus(
                     f"modulus {q} is not NTT-friendly for degree {degree}"
                 )
         return NttTables._build_cached(chain.moduli, degree, chain.radix_bits)

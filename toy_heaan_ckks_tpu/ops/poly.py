@@ -272,9 +272,13 @@ class Poly:
     def _check(self, other: "Poly"):
         if self.ctx is not other.ctx:
             if self.ctx.moduli != other.ctx.moduli or self.ctx.degree != other.ctx.degree:
-                raise ValueError("Poly context mismatch")
+                from ..errors import ChannelCountMismatch
+
+                raise ChannelCountMismatch("Poly context mismatch")
         if self.ntt_domain != other.ntt_domain:
-            raise ValueError("Poly domain mismatch")
+            from ..errors import CkksError
+
+            raise CkksError("Poly domain mismatch")
 
     def __add__(self, other: "Poly") -> "Poly":
         self._check(other)
