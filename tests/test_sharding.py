@@ -72,23 +72,21 @@ def test_sharded_rotate_matches_single_device(setup):
     from toy_heaan_ckks_tpu.ops import modular as mm
     from toy_heaan_ckks_tpu.ops import poly as pops
 
+    import jax.numpy as jnp
+
     exponent = pow(5, rotk.rotation % (DEGREE // 2), 2 * DEGREE)
-    src, negate = ctx.automorphism_table(exponent)
+    perm = ctx.automorphism_table_ntt(exponent)
 
     # single-device reference
     refs = []
     for i in range(2):
-        c0r = pops.to_ntt(
-            pops.automorphism(pops.to_coeff(c0a[i], ctx), src, negate, ctx), ctx
-        )
-        c1r = pops.to_ntt(
-            pops.automorphism(pops.to_coeff(c1a[i], ctx), src, negate, ctx), ctx
-        )
+        c0r = jnp.take(c0a[i], perm, axis=-1)
+        c1r = jnp.take(c1a[i], perm, axis=-1)
         ks0, ks1 = _gadget_key_switch(c1r, rotk.a, rotk.b, ctx, rotk.ext_ctx)
         refs.append((mm.add_mod(c0r, ks0, ctx.chain), ks1))
 
     mesh = make_ckks_mesh(8, batch=2)
-    fn = build_rotate(mesh, ctx, rotk.ext_ctx, src, negate)
+    fn = build_rotate(mesh, ctx, rotk.ext_ctx, perm)
     put = lambda x: jax.device_put(x, ct_spec(mesh))
     kput = lambda x: jax.device_put(x, key_spec(mesh))
     out0, out1 = fn(put(c0a), put(c1a), kput(rotk.a), kput(rotk.b))

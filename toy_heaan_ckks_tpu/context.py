@@ -128,6 +128,31 @@ class CkksContext:
             neg[j] = jf >= n
         return jnp.asarray(src), jnp.asarray(neg)
 
+    @functools.lru_cache(maxsize=256)
+    def automorphism_table_ntt(self, exponent: int):
+        """NTT-domain automorphism: a pure slot permutation (no negation).
+
+        Slot k of the tree-ordered NTT holds p(psi^{E_k}); sigma_e(p)
+        evaluates there as p(psi^{e*E_k}) — another slot of the same NTT
+        (the odd residues mod 2N are closed under multiplication by odd
+        e). out[k] = in[perm[k]]. Avoids the reference's
+        coefficient-domain round trip (poly.rs:482-541: 2 NTT passes per
+        component per rotation) entirely.
+        """
+        from .ops.ntt import tree_leaf_exponents
+
+        n = self.degree
+        two_n = 2 * n
+        e = exponent % two_n
+        if e % 2 == 0:
+            raise ValueError("automorphism exponent must be odd")
+        exps = tree_leaf_exponents(n)
+        idx_of = {v: i for i, v in enumerate(exps)}
+        perm = np.fromiter(
+            (idx_of[(e * v) % two_n] for v in exps), dtype=np.int32, count=n
+        )
+        return jnp.asarray(perm)
+
 
 jax.tree_util.register_dataclass(
     CkksContext,

@@ -63,6 +63,20 @@ def tree_exponent_stages(degree: int) -> list[list[int]]:
     return stages
 
 
+@functools.lru_cache(maxsize=64)
+def tree_leaf_exponents(degree: int) -> tuple[int, ...]:
+    """Tree-order evaluation exponents: NTT slot k holds p(psi^{E_k}).
+
+    The CRT tree splits (X^t - psi^e) into (X^{t/2} - psi^{e/2}) x
+    (X^{t/2} - psi^{e/2 + N}); the leaves, in emission order, are the
+    evaluation points of the tree-ordered NTT domain.
+    """
+    d = [degree]
+    while len(d) < degree:
+        d = [e for x in d for e in (x // 2, (x // 2 + degree) % (2 * degree))]
+    return tuple(d)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class NttTables:
     """Precomputed per-channel NTT twiddles (Montgomery form) for one chain."""

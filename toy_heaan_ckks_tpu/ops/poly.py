@@ -329,14 +329,19 @@ class Poly:
     # ── automorphisms ────────────────────────────────────────────────────
 
     def automorphism(self, exponent: int) -> "Poly":
+        """X -> X^e. NTT-domain inputs stay NTT-resident: there the
+        automorphism is a pure slot permutation (no negation, no domain
+        round trip) — see CkksContext.automorphism_table_ntt."""
         two_n = 2 * self.ctx.degree
         e = exponent % two_n
         if e == 1:
-            return self.to_coeff_domain()
-        coeff = self.to_coeff_domain()
+            return self
+        if self.ntt_domain:
+            perm = self.ctx.automorphism_table_ntt(e)
+            return Poly(jnp.take(self.data, perm, axis=-1), self.ctx, True)
         src, negate = self.ctx.automorphism_table(e)
         return Poly(
-            automorphism(coeff.data, src, negate, self.ctx), self.ctx, False
+            automorphism(self.data, src, negate, self.ctx), self.ctx, False
         )
 
     def rotate_slots(self, k: int) -> "Poly":

@@ -117,12 +117,12 @@ def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext):
     )
 
 
-def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext,
-                 src, negate):
+def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext, perm):
     """Jitted sharded batched rotation (automorphism + gadget key switch).
 
-    ``src``/``negate``: host-precomputed automorphism gather table for the
-    key's rotation offset (ctx.automorphism_table(5^k mod 2N)).
+    ``perm``: NTT-domain automorphism permutation for the key's rotation
+    offset (ctx.automorphism_table_ntt(5^k mod 2N)) — a pure slot gather,
+    no coefficient-domain round trip.
     """
     data_s = ct_spec(mesh)
     key_s = key_spec(mesh)
@@ -130,12 +130,8 @@ def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext,
     def fn(c0, c1, key_a, key_b):
         from ..ops import modular as mm
 
-        c0_rot = pops.to_ntt(
-            pops.automorphism(pops.to_coeff(c0, ctx), src, negate, ctx), ctx
-        )
-        c1_rot = pops.to_ntt(
-            pops.automorphism(pops.to_coeff(c1, ctx), src, negate, ctx), ctx
-        )
+        c0_rot = jnp.take(c0, perm, axis=-1)
+        c1_rot = jnp.take(c1, perm, axis=-1)
         ks0, ks1 = _gadget_key_switch(c1_rot, key_a, key_b, ctx, ext_ctx)
         return mm.add_mod(c0_rot, ks0, ctx.chain), ks1
 
