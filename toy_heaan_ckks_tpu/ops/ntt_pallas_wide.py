@@ -1,0 +1,197 @@
+"""Fused Pallas NTT for WIDE prime chains (2^31 <= q < 2^63, 2-limb).
+
+Same design as ntt_pallas.py (all stages on a VMEM-resident plane,
+in-place distance-d butterflies via static shifts, Harvey/Shoup twiddle
+multiplication) but every value is a (lo, hi) uint32 limb pair and the
+Shoup radix is 2^64: wp = floor(w * 2^64 / q),
+r = lo64(x*w) - lo64(hi64(x*wp) * q), r in [0, 2q), one 64-bit
+conditional subtract. Covers the reference's heavy configurations
+(40/61/62-bit chains: tests/integration_mul.rs, examples/horner_chain.rs)
+that the small-prime kernel cannot.
+
+Data layout: per channel, a (2, R, C) block (limb axis leading so both
+planes stay (R, C)-tiled). Bit-exact with the staged jnp path
+(ops/ntt.py) — same canonical [0, q) representatives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt_pallas import _butterfly_args, _layout, _shift
+from .u64 import add64, geq64, mul64_128, mullo64, select64, sub64
+
+
+def supported_wide(degree: int, moduli) -> bool:
+    """Power-of-two N in [2^10, 2^14] (twiddle planes are 2x the small
+    kernel's, so the VMEM cap is one octave lower); any odd q < 2^63."""
+    return (
+        1024 <= degree <= (1 << 14)
+        and degree & (degree - 1) == 0
+        and all(int(m) < (1 << 63) for m in moduli)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _planes_cached_wide(moduli: tuple[int, ...], degree: int):
+    """Expanded twiddle planes as limb pairs: w and wp = floor(w*2^64/q).
+
+    Returns (fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp):
+    planes uint32 (L, S, 2, N); q/ninv/ninvp uint32 (L, 2).
+    """
+    from ..math.primes import find_primitive_root
+    from .ntt import tree_exponent_stages
+
+    n = degree
+    two_n = 2 * n
+    stages_e = tree_exponent_stages(n)
+    s_count = len(stages_e)
+    L = len(moduli)
+
+    def split(v):
+        return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
+
+    def shoup(w, q):
+        return (w << 64) // q
+
+    fwd_w = np.empty((L, s_count, 2, n), dtype=np.uint32)
+    fwd_wp = np.empty_like(fwd_w)
+    inv_w = np.empty_like(fwd_w)
+    inv_wp = np.empty_like(fwd_w)
+    for li, q in enumerate(moduli):
+        psi = find_primitive_root(q, two_n)
+        for s, exps in enumerate(stages_e):
+            rep = n // len(exps)
+
+            def fill(dst_w, dst_wp, vals):
+                for limb in range(2):
+                    dst_w[li, s, limb] = np.repeat(
+                        np.array([split(v)[limb] for v in vals],
+                                 dtype=np.uint32), rep)
+                    dst_wp[li, s, limb] = np.repeat(
+                        np.array([split(shoup(v, q))[limb] for v in vals],
+                                 dtype=np.uint32), rep)
+
+            fill(fwd_w, fwd_wp, [pow(psi, e, q) for e in exps])
+            fill(inv_w, inv_wp, [pow(psi, two_n - e, q) for e in exps])
+
+    pack2 = lambda vals: np.array(
+        [split(int(v)) for v in vals], dtype=np.uint32
+    )  # (L, 2)
+    q_arr = pack2(moduli)
+    ninv = pack2([pow(n, -1, q) for q in moduli])
+    ninvp = pack2([shoup(pow(n, -1, q), q) for q in moduli])
+    return fwd_w, fwd_wp, inv_w, inv_wp, q_arr, ninv, ninvp
+
+
+def _harvey64(x, w, wp, q):
+    """(x * w) mod q on u64 pairs: x any u64, w < q < 2^63. Out in [0, q)."""
+    p = mul64_128(x, wp)
+    h = (p[2], p[3])  # floor(x * wp / 2^64)
+    t1 = mullo64(x, w)
+    t2 = mullo64(h, q)
+    r = sub64(t1, t2)  # in [0, 2q), 2q < 2^64
+    return select64(geq64(r, q), sub64(r, q), r)
+
+
+def _add_mod64(a, b, q):
+    s = add64(a, b)
+    return select64(geq64(s, q), sub64(s, q), s)
+
+
+def _sub_mod64(a, b, q):
+    d = sub64(a, b)
+    return select64(geq64(a, b), d, add64(d, q))
+
+
+def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
+                     *, n: int, r: int, c: int, inverse: bool):
+    ch = pl.program_id(0)
+    q = (q_ref[ch, 0], q_ref[ch, 1])
+    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    s_count = n.bit_length() - 1
+    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = (w_ref[0, s, 0], w_ref[0, s, 1])
+        wp = (wp_ref[0, s, 0], wp_ref[0, s, 1])
+        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+        v_at_u = shift2(x, amount)
+        u_at_v = shift2(x, -amount)
+        if inverse:
+            total = _add_mod64(x, v_at_u, q)
+            diff = _sub_mod64(u_at_v, x, q)
+            wv = _harvey64(diff, w, wp, q)
+            x = select64(mask, total, wv)
+        else:
+            operand = select64(mask, v_at_u, x)
+            wv = _harvey64(operand, w, wp, q)
+            x = select64(
+                mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q)
+            )
+    if inverse:
+        ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
+        ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
+        x = _harvey64(x, ninv, ninvp, q)
+    o_ref[0, 0, 0] = x[0]
+    o_ref[0, 0, 1] = x[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("moduli", "degree", "inverse", "interpret")
+)
+def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
+                    interpret: bool = False):
+    """Drop-in NTT on (..., L, 2, N) uint32 limb data (generic chains)."""
+    moduli = tuple(int(m) for m in moduli)
+    fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached_wide(
+        moduli, degree
+    )
+    w_pl, wp_pl = (inv_w, inv_wp) if inverse else (fwd_w, fwd_wp)
+
+    n = degree
+    r, c = _layout(n)
+    lead = data.shape[:-3]
+    L = data.shape[-3]
+    x = data.reshape(-1, L, 2, r, c)
+    outer = x.shape[0]
+    s_count = n.bit_length() - 1
+
+    kernel = functools.partial(
+        _ntt_kernel_wide, n=n, r=r, c=c, inverse=inverse
+    )
+    smem = lambda: pl.BlockSpec(
+        (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    plane_spec = lambda: pl.BlockSpec(
+        (1, s_count, 2, r, c), lambda ch, o: (ch, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, outer),
+        in_specs=[
+            smem(),
+            smem(),
+            smem(),
+            data_spec(),
+            plane_spec(),
+            plane_spec(),
+        ],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(q, ninv, ninvp, x, w_pl.reshape(L, s_count, 2, r, c),
+      wp_pl.reshape(L, s_count, 2, r, c))
+    return out.reshape(*lead, L, 2, n)

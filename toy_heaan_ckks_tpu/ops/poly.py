@@ -28,20 +28,33 @@ from . import ntt_pallas
 from .ntt import forward_ntt, inverse_ntt
 
 
-def _use_pallas(ctx: CkksContext) -> bool:
-    """Route NTTs through the fused Pallas kernel on TPU backends.
-
-    The staged jnp path remains the oracle (and the CPU/large-prime path);
-    CKKS_DISABLE_PALLAS=1 forces it everywhere.
-    """
+def _on_tpu() -> bool:
     if os.environ.get("CKKS_DISABLE_PALLAS"):
-        return False
-    if not ntt_pallas.supported(ctx.degree, ctx.chain.small):
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _use_pallas(ctx: CkksContext) -> bool:
+    """Small-prime fused Pallas kernel eligibility (TPU backends).
+
+    The staged jnp path remains the oracle (and the CPU path);
+    CKKS_DISABLE_PALLAS=1 forces it everywhere.
+    """
+    return _on_tpu() and ntt_pallas.supported(ctx.degree, ctx.chain.small)
+
+
+def _use_pallas_wide(ctx: CkksContext) -> bool:
+    """Wide-prime (2-limb) fused Pallas kernel eligibility."""
+    from . import ntt_pallas_wide
+
+    return (
+        _on_tpu()
+        and not ntt_pallas.supported(ctx.degree, ctx.chain.small)
+        and ntt_pallas_wide.supported_wide(ctx.degree, ctx.moduli)
+    )
 
 # ── Functional kernels (jitted; data = uint32 (..., L, 2, N) Montgomery) ────
 
@@ -71,6 +84,10 @@ def mul_pointwise(a, b, ctx: CkksContext):
 def to_ntt(a, ctx: CkksContext):
     if _use_pallas(ctx):
         return ntt_pallas.ntt_pallas(a, ctx.moduli, ctx.degree, inverse=False)
+    if _use_pallas_wide(ctx):
+        from .ntt_pallas_wide import ntt_pallas_wide
+
+        return ntt_pallas_wide(a, ctx.moduli, ctx.degree, inverse=False)
     return forward_ntt(a, ctx.ntt, ctx.chain)
 
 
@@ -78,6 +95,10 @@ def to_ntt(a, ctx: CkksContext):
 def to_coeff(a, ctx: CkksContext):
     if _use_pallas(ctx):
         return ntt_pallas.ntt_pallas(a, ctx.moduli, ctx.degree, inverse=True)
+    if _use_pallas_wide(ctx):
+        from .ntt_pallas_wide import ntt_pallas_wide
+
+        return ntt_pallas_wide(a, ctx.moduli, ctx.degree, inverse=True)
     return inverse_ntt(a, ctx.ntt, ctx.chain)
 
 
