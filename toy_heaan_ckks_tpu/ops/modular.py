@@ -25,7 +25,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .u64 import (
-    U32,
     add64,
     add128,
     geq64,

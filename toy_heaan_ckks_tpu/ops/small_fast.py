@@ -15,13 +15,11 @@ Everything here assumes Montgomery radix 2^32 and is dispatched only when
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..context import CkksContext
-from .ntt_pallas import _layout, _planes_cached, _ntt_planes_call, lazy_ok
+from .ntt_pallas import _planes_cached, _ntt_planes_call, lazy_ok
 from .u64 import umul32
 
 # ── lo-plane modular primitives (q, consts broadcast as (L, 1)) ─────────────

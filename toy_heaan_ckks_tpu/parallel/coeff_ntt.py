@@ -30,14 +30,11 @@ Pallas kernel).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..context import CkksContext
 from ..ops.ntt_pallas import (
     _add_mod,
     _harvey_mul,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..context import CkksContext
-from ..engine import _gadget_key_switch, _mul_gadget_core
+from ..engine import _gadget_key_switch
 from ..ops import poly as pops
 from .mesh import ct_spec, key_spec
 
