@@ -56,6 +56,7 @@ def test_composite_accuracy_and_vs_sequential():
         c1=Poly(o1[0], child, True),
         logp=ca.logp + cb.logp - ctx.moduli[-1].bit_length(),
         logq=ca.logq - ctx.moduli[-1].bit_length(),
+        scale=ca.true_scale * cb.true_scale / ctx.moduli[-1],
     )
     out = enc.decode(eng.decrypt(ct, sk.reduce_to(child)))
     np.testing.assert_allclose(out[: len(a)], a * b, atol=1e-4)

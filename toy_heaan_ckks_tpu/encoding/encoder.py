@@ -118,7 +118,7 @@ class CkksEncoder:
         return self.decode_complex(pt).real
 
     def decode_complex(self, pt: Plaintext) -> np.ndarray:
-        delta = float(2.0 ** pt.scale_bits)
+        delta = pt.true_scale
         int_coeffs = pt.poly.to_coeffs()  # exact centered big ints
         c = np.asarray([float(x) for x in int_coeffs], dtype=np.float64)
         slot_vec = embed_decode(c, self.degree)

@@ -379,7 +379,10 @@ class CkksEngine:
         m = plaintext.poly.to_ntt_domain()
         c0 = public_key.b * u + e0 + m
         c1 = public_key.a * u + e1
-        return Ciphertext(c0=c0, c1=c1, logp=plaintext.scale_bits, logq=logq)
+        return Ciphertext(
+            c0=c0, c1=c1, logp=plaintext.scale_bits, logq=logq,
+            scale=plaintext.true_scale,
+        )
 
     @staticmethod
     def decrypt(ciphertext: Ciphertext, secret_key: SecretKey) -> Plaintext:
@@ -388,6 +391,7 @@ class CkksEngine:
             poly=m,
             scale_bits=ciphertext.logp,
             slots=ciphertext.ctx.degree // 2,
+            scale=ciphertext.true_scale,
         )
 
     # ── level-free homomorphic ops ───────────────────────────────────────
@@ -401,11 +405,14 @@ class CkksEngine:
             c1=ct1.c1 + ct2.c1,
             logp=ct1.logp,
             logq=ct1.logq,
+            scale=ct1.scale,
         )
 
     @staticmethod
     def neg_ciphertext(ct: Ciphertext) -> Ciphertext:
-        return Ciphertext(c0=-ct.c0, c1=-ct.c1, logp=ct.logp, logq=ct.logq)
+        return Ciphertext(
+            c0=-ct.c0, c1=-ct.c1, logp=ct.logp, logq=ct.logq, scale=ct.scale
+        )
 
     @staticmethod
     def sub_ciphertexts(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
@@ -416,6 +423,7 @@ class CkksEngine:
             c1=ct1.c1 - ct2.c1,
             logp=ct1.logp,
             logq=ct1.logq,
+            scale=ct1.scale,
         )
 
     # ── multiplication ───────────────────────────────────────────────────
@@ -438,7 +446,8 @@ class CkksEngine:
         c0 = d0 + relin_key.b * d2
         c1 = d1 + relin_key.a * d2
         return Ciphertext(
-            c0=c0, c1=c1, logp=ct1.logp + ct2.logp, logq=ct1.logq
+            c0=c0, c1=c1, logp=ct1.logp + ct2.logp, logq=ct1.logq,
+            scale=ct1.true_scale * ct2.true_scale,
         )
 
     @staticmethod
@@ -464,6 +473,7 @@ class CkksEngine:
             c1=Poly(c1, ctx, True),
             logp=ct1.logp + ct2.logp,
             logq=ct1.logq,
+            scale=ct1.true_scale * ct2.true_scale,
         )
 
     # ── rescale ──────────────────────────────────────────────────────────
@@ -481,6 +491,7 @@ class CkksEngine:
             c1=c1,
             logp=ct.logp - bits_dropped,
             logq=ct.logq - bits_dropped,
+            scale=ct.true_scale / q_last,
         )
 
     # ── rotation ─────────────────────────────────────────────────────────
@@ -503,6 +514,7 @@ class CkksEngine:
             c1=Poly(ks1, ctx, True),
             logp=ct.logp,
             logq=ct.logq,
+            scale=ct.scale,
         )
 
     # ── plaintext multiplication (extensions required by specs/ctx.md) ───
@@ -516,6 +528,7 @@ class CkksEngine:
             c1=ct.c1.to_ntt_domain() * p,
             logp=ct.logp + pt.scale_bits,
             logq=ct.logq,
+            scale=ct.true_scale * pt.true_scale,
         )
 
     def mul_plain_scalar(self, ct: Ciphertext, scalar: float) -> Ciphertext:
@@ -541,6 +554,7 @@ class CkksEngine:
             c1=ct.c1,
             logp=ct.logp,
             logq=ct.logq,
+            scale=ct.scale,
         )
 
 

@@ -140,14 +140,35 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
         degree=ctx.degree, interpret=interpret, stack_limbs=False,
     )
 
-    p_mont, down_plan = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
-    child = ctx.drop_last(1)
+    from .moddown_pallas import inv_ntt_to_yhat, mod_down_combine_pallas
+
+    p_mont, _ = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
+    child_moduli = ctx.moduli[:-1]
+    dropped = ext_ctx.moduli[L - 1 :]  # (q_last, specials...)
+    Lc = L - 1
 
     def combine(t, ks):
-        t_p = mont_mul_lo(t, _lo(p_mont), q, qinv)
-        head = add_lo(t_p, ks[..., :L, :], q)
-        x = jnp.concatenate([head, ks[..., L:, :]], axis=-2)
-        return mod_down_lo(x, child, ext_ctx, down_plan, interpret)
+        # the dropped q_last channel of the combined numerator includes
+        # the tensor term scaled by P; the special channels do not (P == 0
+        # there)
+        t_last_p = mont_mul_lo(
+            t[..., Lc:L, :], _lo(p_mont)[Lc:L], q[Lc:L], qinv[Lc:L]
+        )
+        x_drop = jnp.concatenate(
+            [add_lo(t_last_p, ks[..., Lc:L, :], q[Lc:L]), ks[..., L:, :]],
+            axis=-2,
+        )
+        yhat = inv_ntt_to_yhat(
+            x_drop, dropped, child_moduli, ctx.degree, interpret
+        )
+        p_specials = 1
+        for p in ext_ctx.moduli[L:]:
+            p_specials *= p
+        return mod_down_combine_pallas(
+            yhat, ks[..., :Lc, :], t[..., :Lc, :],
+            child_moduli=child_moduli, dropped_moduli=dropped,
+            degree=ctx.degree, interpret=interpret, t_scale=p_specials,
+        )
 
     return combine(t0, ks0), combine(t1, ks1)
 
@@ -156,8 +177,11 @@ def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
                   plan, interpret: bool = False):
     """Hybrid gadget key switch of NTT-domain lo planes (..., L, N)."""
     from .keyswitch_pallas import gadget_accumulate_pallas
+    from .moddown_pallas import inv_ntt_to_yhat, mod_down_combine_pallas
 
     bc = ctx.chain
+    L = len(ctx.moduli)
+    specials = ext_ctx.moduli[L:]
     d_coeff = ntt_lo(d, ctx.moduli, ctx.degree, True, interpret)
     y = mont_mul_lo(d_coeff, _lo(plan.dec_inv), _lo(bc.q), _lo(bc.qinv))
     ks0, ks1 = gadget_accumulate_pallas(
@@ -165,7 +189,15 @@ def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, interpret=interpret, stack_limbs=False,
     )
-    return (
-        mod_down_lo(ks0, ctx, ext_ctx, plan, interpret),
-        mod_down_lo(ks1, ctx, ext_ctx, plan, interpret),
-    )
+
+    def down(ks):
+        yhat = inv_ntt_to_yhat(
+            ks[..., L:, :], specials, ctx.moduli, ctx.degree, interpret
+        )
+        return mod_down_combine_pallas(
+            yhat, ks[..., :L, :], None,
+            child_moduli=ctx.moduli, dropped_moduli=specials,
+            degree=ctx.degree, interpret=interpret,
+        )
+
+    return down(ks0), down(ks1)

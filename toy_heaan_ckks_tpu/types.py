@@ -18,10 +18,19 @@ class Plaintext:
     poly: Poly
     scale_bits: int
     slots: int
+    # Exact scale Delta. The reference tracks only integer logp, which
+    # drifts by (2^bits - q_last)/q_last per rescale (SURVEY.md §2.2,
+    # "~1-bit drift"); tracking the true scale as a float (SEAL/Lattigo
+    # practice) removes that systematic decode error. None -> 2^scale_bits.
+    scale: float | None = None
 
     @property
     def ctx(self):
         return self.poly.ctx
+
+    @property
+    def true_scale(self) -> float:
+        return float(self.scale) if self.scale else float(2.0 ** self.scale_bits)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -30,6 +39,11 @@ class Ciphertext:
     c1: Poly
     logp: int
     logq: int
+    scale: float | None = None  # exact Delta; None -> 2^logp
+
+    @property
+    def true_scale(self) -> float:
+        return float(self.scale) if self.scale else float(2.0 ** self.logp)
 
     @property
     def ctx(self):
@@ -59,4 +73,5 @@ class Ciphertext:
             c1=self.c1.mod_drop_last(levels),
             logp=self.logp,
             logq=self.logq - dropped_bits,
+            scale=self.scale,
         )

@@ -48,6 +48,7 @@ def save_ciphertext(path: str, ct: Ciphertext) -> None:
             logp=ct.logp,
             logq=ct.logq,
             ntt_domain=ct.c0.ntt_domain,
+            scale=ct.scale,
         ),
     )
 
@@ -62,6 +63,7 @@ def load_ciphertext(path: str) -> Ciphertext:
         c1=Poly(jnp.asarray(z["c1"]), ctx, ntt),
         logp=int(meta["logp"]),
         logq=int(meta["logq"]),
+        scale=meta.get("scale"),
     )
 
 
@@ -74,6 +76,7 @@ def save_plaintext(path: str, pt: Plaintext) -> None:
             scale_bits=pt.scale_bits,
             slots=pt.slots,
             ntt_domain=pt.poly.ntt_domain,
+            scale=pt.scale,
         ),
     )
 
@@ -86,6 +89,7 @@ def load_plaintext(path: str) -> Plaintext:
         poly=Poly(jnp.asarray(z["poly"]), ctx, bool(meta["ntt_domain"])),
         scale_bits=int(meta["scale_bits"]),
         slots=int(meta["slots"]),
+        scale=meta.get("scale"),
     )
 
 
