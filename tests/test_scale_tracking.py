@@ -52,6 +52,38 @@ def test_rescale_with_mismatched_prime_decodes_exactly():
     assert err < 1e-3, err  # with a 2^logp decode this would be ~|ab|
 
 
+def test_mixed_radix_chain_rescale():
+    """Regression: a 29-bit q_last inside a 32-bit (generic-radix) chain.
+
+    Derived contexts for channel slices must inherit the parent's
+    Montgomery radix; auto-detection flipped the sliced q_last channel to
+    R=2^32 and corrupted every rescale on mixed-width chains."""
+    from toy_heaan_ckks_tpu import get_first_prime_up
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    from toy_heaan_ckks_tpu.ops import poly as pops
+
+    degree = 128
+    q0 = generate_primes(32, 2, degree)
+    q_last = get_first_prime_up(28, degree)
+    ctx = CkksContext.build([q0[0], q0[1], q_last], degree)
+    assert not ctx.chain.small
+    assert not ctx.slice_channels(2, 3).chain.small  # inherits generic radix
+
+    rng = np.random.default_rng(3)
+    k = rng.integers(-(2**40), 2**40, degree).astype(object)
+    p = Poly.from_coeffs(k * q_last, ctx)
+    r = p.to_ntt_domain().rescale_ntt().to_coeff_domain().to_coeffs()
+    assert all(int(x) == int(y) for x, y in zip(r, k))
+
+    # non-multiple: rescale_ntt must equal the coeff-domain oracle
+    m = Poly.from_coeffs(
+        rng.integers(-(2**60), 2**60, degree).astype(object), ctx
+    )
+    a = m.rescale().to_coeffs()
+    b = m.to_ntt_domain().rescale_ntt().to_coeff_domain().to_coeffs()
+    assert all(int(x) == int(y) for x, y in zip(a, b))
+
+
 def test_scale_propagates_through_ops():
     degree = 128
     ctx = CkksContext.build(generate_primes(30, 3, degree), degree)

@@ -58,16 +58,20 @@ class CkksContext:
 
     @staticmethod
     @functools.lru_cache(maxsize=128)
-    def _build_cached(moduli: tuple[int, ...], degree: int) -> "CkksContext":
+    def _build_cached(
+        moduli: tuple[int, ...], degree: int, small: bool | None = None
+    ) -> "CkksContext":
         # Contexts may be (cache-)built while tracing (e.g. rescale_ntt
         # derives the dropped channel's context inside jit): force eager
         # array creation so the cache never captures tracers.
         with jax.ensure_compile_time_eval():
-            return CkksContext._build_eager(moduli, degree)
+            return CkksContext._build_eager(moduli, degree, small)
 
     @staticmethod
-    def _build_eager(moduli: tuple[int, ...], degree: int) -> "CkksContext":
-        chain = ModulusChain.build(moduli)
+    def _build_eager(
+        moduli: tuple[int, ...], degree: int, small: bool | None = None
+    ) -> "CkksContext":
+        chain = ModulusChain.build(moduli, small)
         ntt = NttTables.build(chain, degree)
         if len(moduli) >= 2:
             q_last = moduli[-1]
@@ -84,9 +88,17 @@ class CkksContext:
         )
 
     @staticmethod
-    def build(moduli, degree: int) -> "CkksContext":
-        """Build a context for ``moduli`` (NTT-friendly primes) at ``degree``."""
-        return CkksContext._build_cached(tuple(int(m) for m in moduli), degree)
+    def build(
+        moduli, degree: int, small: bool | None = None
+    ) -> "CkksContext":
+        """Build a context for ``moduli`` (NTT-friendly primes) at ``degree``.
+
+        ``small`` forces the Montgomery radix (see ModulusChain.build);
+        derived contexts for channel slices of existing data MUST inherit
+        the parent's radix."""
+        return CkksContext._build_cached(
+            tuple(int(m) for m in moduli), degree, small
+        )
 
     # ── level management ─────────────────────────────────────────────────
 
@@ -99,7 +111,16 @@ class CkksContext:
 
         if count >= len(self.moduli):
             raise InvalidModDrop("drop_last: cannot drop all channels")
-        return CkksContext.build(self.moduli[:-count], self.degree)
+        # inherit the radix: child data is a slice of this chain's residues
+        return CkksContext.build(
+            self.moduli[:-count], self.degree, self.chain.small
+        )
+
+    def slice_channels(self, start: int, stop: int) -> "CkksContext":
+        """Context for a contiguous channel slice, same Montgomery radix."""
+        return CkksContext.build(
+            self.moduli[start:stop], self.degree, self.chain.small
+        )
 
     def total_bits(self) -> int:
         return self.chain.total_bits()

@@ -199,7 +199,7 @@ def _mod_down_ntt(x, ctx: CkksContext, ext_ctx: CkksContext, plan: _SwitchPlan):
     L = len(ctx.moduli)
     E = x.shape[-3]
     gp = E - L
-    sp_ctx = CkksContext.build(ext_ctx.moduli[L:], ctx.degree)
+    sp_ctx = ext_ctx.slice_channels(L, E)
     x_sp = pops.to_coeff(x[..., L:, :, :], sp_ctx)
     yhat = mm.mont_mul(x_sp, plan.sp_inv, sp_ctx.chain)  # plain, < p_m
     acc = None

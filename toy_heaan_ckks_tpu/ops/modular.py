@@ -69,7 +69,11 @@ class ModulusChain:
     small: bool  # True -> R = 2^32 fast path
 
     @staticmethod
-    def build(moduli) -> "ModulusChain":
+    def build(moduli, small: bool | None = None) -> "ModulusChain":
+        """``small=None`` picks the radix automatically; passing an explicit
+        value forces it — required when deriving a chain for a SLICE of an
+        existing chain's data, which must keep the parent's Montgomery
+        radix (a 2^64-form residue is NOT a 2^32-form residue)."""
         from ..errors import EmptyBasis, NonNttFriendlyModulus
 
         moduli = tuple(int(m) for m in moduli)
@@ -80,7 +84,10 @@ class ModulusChain:
                 raise NonNttFriendlyModulus(
                     f"modulus {m} must be odd and < 2^63"
                 )
-        small = all(m < (1 << 31) for m in moduli)
+        if small is None:
+            small = all(m < (1 << 31) for m in moduli)
+        elif small and not all(m < (1 << 31) for m in moduli):
+            raise ValueError("small radix requires all moduli < 2^31")
         radix = (1 << 32) if small else R
         qinv = [(-pow(m, -1, radix)) % radix for m in moduli]
         r2 = [(radix * radix) % m for m in moduli]

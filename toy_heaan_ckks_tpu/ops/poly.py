@@ -140,7 +140,7 @@ def rescale_ntt(a, ctx: CkksContext):
     if num < 2:
         raise ValueError("rescale_ntt: need at least two channels")
     child_ctx = ctx.drop_last(1)
-    last_ctx = CkksContext.build((ctx.moduli[-1],), ctx.degree)
+    last_ctx = ctx.slice_channels(num - 1, num)
 
     last = a[..., num - 1 : num, :, :]
     last_coeff = to_coeff(last, last_ctx)

@@ -71,7 +71,7 @@ def rescale_ntt_lo(x, ctx: CkksContext, interpret: bool = False):
     """NTT-domain exact rescale on lo planes: (..., L, N) -> (..., L-1, N)."""
     num = x.shape[-2]
     child = ctx.drop_last(1)
-    last_ctx = CkksContext.build((ctx.moduli[-1],), ctx.degree)
+    last_ctx = ctx.slice_channels(num - 1, num)
     lc, cc = last_ctx.chain, child.chain
 
     last = ntt_lo(
@@ -91,7 +91,7 @@ def mod_down_lo(x, ctx: CkksContext, ext_ctx: CkksContext, plan,
     L = len(ctx.moduli)
     E = x.shape[-2]
     gp = E - L
-    sp_ctx = CkksContext.build(ext_ctx.moduli[L:], ctx.degree)
+    sp_ctx = ext_ctx.slice_channels(L, E)
     spc, bc = sp_ctx.chain, ctx.chain
 
     x_sp = ntt_lo(x[..., L:, :], sp_ctx.moduli, ctx.degree, True, interpret)
