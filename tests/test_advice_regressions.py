@@ -1,0 +1,103 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md).
+
+1. high — digit_size values whose grouping is not recovered by
+   ceil(L/num_digits) (e.g. 5 at L=8 -> groups (5,3)) must key-switch
+   correctly: the plan is now derived from the key's stored digit_size.
+2. medium — the pure-Python NTT-prime search fallback must snap to the
+   p == 1 (mod 2N) class (else it hangs forever from an even start).
+3. low — add/sub/add_plain must reject operands whose *true* scales
+   differ even when integer logp matches.
+4. low — using a full-level gadget key on a rescaled ciphertext must
+   raise a typed error, not silently corrupt.
+"""
+
+import numpy as np
+import pytest
+
+from toy_heaan_ckks_tpu import (
+    CkksContext,
+    CkksEncoder,
+    CkksEngine,
+    CkksParams,
+    generate_primes,
+)
+from toy_heaan_ckks_tpu.errors import CkksError, ChannelCountMismatch
+from toy_heaan_ckks_tpu.math.sampling import make_rng
+
+
+def _engine(degree=64, count=8, bits=30):
+    ctx = CkksContext.build(generate_primes(bits, count, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, bits))
+    rng = make_rng(11)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    return ctx, eng, sk, pk, rng
+
+
+@pytest.mark.parametrize("digit_size", [3, 5, 7])
+def test_non_roundtrip_digit_sizes_multiply_correctly(digit_size):
+    """ADVICE high: digit_size=5 at L=8 encodes groups (5,3); the old plan
+    recovered ceil(8/2)=4 -> (4,4) and silently corrupted (error ~7e54)."""
+    degree = 64
+    ctx, eng, sk, pk, rng = _engine(degree=degree)
+    rlk = eng.generate_gadget_relin_key(sk, rng, digit_size=digit_size)
+    enc = CkksEncoder(degree, 30)
+    a = np.linspace(0.1, 0.9, degree // 2)
+    b = np.linspace(-0.5, 0.5, degree // 2)
+    ca = eng.encrypt(enc.encode(a, ctx), pk, ctx.total_bits(), rng)
+    cb = eng.encrypt(enc.encode(b, ctx), pk, ctx.total_bits(), rng)
+    ct = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ca, cb, rlk))
+    sk_red = sk.reduce_to(ct.ctx)
+    got = enc.decode(eng.decrypt(ct, sk_red))
+    assert np.max(np.abs(got - a * b)) < 1e-4
+
+
+def test_prime_fallback_snaps_congruence(monkeypatch):
+    """ADVICE medium: _next_up's pure-Python fallback from an even start
+    (2^scale_bits) must terminate and return an NTT-friendly prime."""
+    from toy_heaan_ckks_tpu.utils import params as P
+    import toy_heaan_ckks_tpu.native as native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    p = P._next_up(1 << 30, 1024)
+    assert p is not None and p > (1 << 30) and p % 2048 == 1
+    plan = P.build_modulus_chain(1024, 30, 2)
+    assert len(plan.moduli) == 3
+
+
+def test_scale_mismatch_rejected():
+    """ADVICE low: same logp but different true_scale must not add."""
+    degree = 64
+    ctx, eng, sk, pk, rng = _engine(degree=degree)
+    rlk = eng.generate_gadget_relin_key(sk, rng)
+    enc = CkksEncoder(degree, 30)
+    a = np.linspace(0.1, 0.9, degree // 2)
+    ca = eng.encrypt(enc.encode(a, ctx), pk, ctx.total_bits(), rng)
+    # same level, same integer logp, drifted true scale (what a rescale by
+    # q_last != 2^bits produces)
+    import dataclasses
+
+    drifted = dataclasses.replace(ca, scale=ca.true_scale * 1.05)
+    with pytest.raises(CkksError):
+        eng.add_ciphertexts(ca, drifted)
+    with pytest.raises(CkksError):
+        eng.sub_ciphertexts(ca, drifted)
+    with pytest.raises(CkksError):
+        eng.add_plain(drifted, enc.encode(a, ctx))
+    # matched scales still work
+    out = eng.add_ciphertexts(ca, ca)
+    assert out.logp == ca.logp
+
+
+def test_full_level_key_on_rescaled_ct_raises():
+    """ADVICE low: a master-level key applied after rescale must raise a
+    typed ChannelCountMismatch (the assert used to vanish under -O)."""
+    degree = 64
+    ctx, eng, sk, pk, rng = _engine(degree=degree)
+    rlk = eng.generate_gadget_relin_key(sk, rng)
+    enc = CkksEncoder(degree, 30)
+    a = np.linspace(0.1, 0.9, degree // 2)
+    ca = eng.encrypt(enc.encode(a, ctx), pk, ctx.total_bits(), rng)
+    ct = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ca, ca, rlk))
+    with pytest.raises(ChannelCountMismatch):
+        eng.mul_ciphertexts_gadget(ct, ct, rlk)

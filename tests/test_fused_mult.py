@@ -49,6 +49,7 @@ def test_composite_accuracy_and_vs_sequential():
     o0, o1 = _mul_relin_rescale_arrays(
         batchify(ca.c0), batchify(ca.c1), batchify(cb.c0), batchify(cb.c1),
         rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1),
+        digit_size=rlk.digit_size,
     )
     child = ctx.drop_last(1)
     ct = Ciphertext(
@@ -70,7 +71,7 @@ def test_composite_accuracy_and_vs_sequential():
 def test_generic_vs_lo_fast_bit_exact():
     degree = 1024  # pallas-supported size (interpret mode)
     ctx, eng, sk, pk, rlk = _setup(degree=degree, count=4, digit_size=2)
-    plan = _switch_plan(ctx.moduli, rlk.ext_ctx.moduli, rlk.a.shape[0])
+    plan = _switch_plan(ctx.moduli, rlk.ext_ctx.moduli, rlk.digit_size)
     args = [
         jnp.stack(
             [Poly.sample_uniform(ctx, make_rng(10 * s + i)).to_ntt_domain().data
@@ -79,7 +80,8 @@ def test_generic_vs_lo_fast_bit_exact():
         for s in range(4)
     ]
     g0, g1 = _mul_relin_rescale_arrays(
-        *args, rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1)
+        *args, rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1),
+        digit_size=rlk.digit_size,
     )
     f0, f1 = sf.mul_relin_rescale_lo(
         *[a[..., 0, :] for a in args], rlk.a, rlk.b,

@@ -31,7 +31,7 @@ def _setup(degree=1024, L=5, ds=2):
 def test_yhat_emission_matches_oracle():
     ctx, ext, rlk = _setup()
     L = len(ctx.moduli)
-    plan = _switch_plan(ctx.moduli, ext.moduli, rlk.a.shape[0])
+    plan = _switch_plan(ctx.moduli, ext.moduli, rlk.digit_size)
     x = Poly.sample_uniform(ext, make_rng(7)).to_ntt_domain().data[None, :, 0, :]
     specials = ext.moduli[L:]
     sp_ctx = ext.slice_channels(L, len(ext.moduli))
@@ -48,7 +48,7 @@ def test_yhat_emission_matches_oracle():
 def test_mod_down_kernel_matches_oracle():
     ctx, ext, rlk = _setup()
     L = len(ctx.moduli)
-    plan = _switch_plan(ctx.moduli, ext.moduli, rlk.a.shape[0])
+    plan = _switch_plan(ctx.moduli, ext.moduli, rlk.digit_size)
     x = Poly.sample_uniform(ext, make_rng(9)).to_ntt_domain().data[None, :, 0, :]
     want = sf.mod_down_lo(x, ctx, ext, plan, interpret=True)
     specials = ext.moduli[L:]

@@ -82,7 +82,7 @@ def test_sharded_rotate_matches_single_device(setup):
     for i in range(2):
         c0r = jnp.take(c0a[i], perm, axis=-1)
         c1r = jnp.take(c1a[i], perm, axis=-1)
-        ks0, ks1 = _gadget_key_switch(c1r, rotk.a, rotk.b, ctx, rotk.ext_ctx)
+        ks0, ks1 = _gadget_key_switch(c1r, rotk.a, rotk.b, ctx, rotk.ext_ctx, digit_size=rotk.digit_size)
         refs.append((mm.add_mod(c0r, ks0, ctx.chain), ks1))
 
     mesh = make_ckks_mesh(8, batch=2)

@@ -108,17 +108,21 @@ def _pack_u64_cols(vals) -> np.ndarray:
 
 @functools.lru_cache(maxsize=128)
 def _switch_plan(
-    base_moduli: tuple[int, ...], ext_moduli: tuple[int, ...], num_digits: int
+    base_moduli: tuple[int, ...], ext_moduli: tuple[int, ...], digit_size: int
 ) -> _SwitchPlan:
+    """Plan keyed by the key's stored ``digit_size`` (NOT inferred from the
+    digit count: ceil(L/num_digits) does not round-trip every valid
+    digit_size — e.g. digit_size=5 at L=8 gives groups (5,3) but
+    ceil(8/2)=4 would decompose (4,4) and silently corrupt)."""
     from .keys import digit_groups
 
     L = len(base_moduli)
     E = len(ext_moduli)
     gp = E - L
     specials = ext_moduli[L:]
-    digit_size = -(-L // num_digits)
+    digit_size = min(digit_size, L)
     groups = digit_groups(L, digit_size)
-    assert len(groups) == num_digits
+    num_digits = len(groups)
     small = all(m < (1 << 31) for m in ext_moduli)
     rbits = 32 if small else 64
     r2 = {q: pow(1 << rbits, 2, q) for q in ext_moduli}
@@ -183,7 +187,9 @@ def _combined_down_consts(base_moduli: tuple[int, ...],
     small = all(m < (1 << 31) for m in ext_moduli)
     rbits = 32 if small else 64
     p_mont = [((p_total % q) << rbits) % q for q in base_moduli]
-    down_plan = _switch_plan(base_moduli[:-1], ext_moduli, 1)
+    down_plan = _switch_plan(
+        base_moduli[:-1], ext_moduli, max(1, len(base_moduli) - 1)
+    )
     with jax.ensure_compile_time_eval():
         return jnp.asarray(_pack_u64_cols(p_mont)), down_plan
 
@@ -213,8 +219,27 @@ def _mod_down_ntt(x, ctx: CkksContext, ext_ctx: CkksContext, plan: _SwitchPlan):
     return mm.mont_mul(diff, plan.p_inv, ctx.chain)
 
 
-@jax.jit
-def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext):
+def _check_key_compat(ctx: CkksContext, key_a, digit_size: int):
+    """Trace-time validation: the key's digit layout must match the
+    ciphertext basis (a full-level key on a rescaled ciphertext, or a plan
+    digit grouping that disagrees with the key's, silently corrupts)."""
+    from .errors import ChannelCountMismatch
+    from .keys import digit_groups
+
+    L = len(ctx.moduli)
+    groups = digit_groups(L, min(digit_size, L))
+    if len(groups) != key_a.shape[-4]:
+        raise ChannelCountMismatch(
+            f"gadget key has {key_a.shape[-4]} digits but the ciphertext "
+            f"basis (L={L}) with digit_size={digit_size} needs "
+            f"{len(groups)} — use a key generated at this level "
+            f"(e.g. KeyLadder.at_level({L}))"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("digit_size",))
+def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext,
+                       ext_ctx: CkksContext, digit_size: int):
     """Hybrid RNS gadget key switch of an NTT-domain poly ``d`` over Q.
 
     Decomposes d into D digits (contiguous RNS prime groups — the
@@ -224,11 +249,10 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksConte
     in NTT domain over QP, and exactly divides by P (one batched RNS
     mod-down), shrinking key-switch noise by 1/P. Dominant cost: D*(L+g')
     forward channel-NTTs (vs the reference's O(L^2) with 3x NTT passes).
+    ``digit_size`` is the key's stored decomposition width.
     """
-    L = d_ntt.shape[-3]
-    D = key_a.shape[-4]
-    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, D)
-    g = plan.digit_size
+    _check_key_compat(ctx, key_a, digit_size)
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
 
     if pops._use_pallas(ext_ctx):
         from .ops import small_fast as sf
@@ -238,6 +262,11 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext, ext_ctx: CkksConte
         )
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(ks0), stack(ks1)
+
+    if pops._use_pallas_wide(ext_ctx):
+        from .ops import wide_fast as wf
+
+        return wf.key_switch_wide(d_ntt, key_a, key_b, ctx, ext_ctx, plan)
 
     ks0, ks1 = _gadget_accumulate(d_ntt, key_a, key_b, ctx, ext_ctx, plan)
     return (
@@ -278,8 +307,9 @@ def _gadget_accumulate(d_ntt, key_a, key_b, ctx: CkksContext,
     return ks0, ks1
 
 
-@jax.jit
-def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext):
+@functools.partial(jax.jit, static_argnames=("digit_size",))
+def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext,
+                     ext_ctx: CkksContext, digit_size: int):
     """Fused tensor product + gadget relinearization (all NTT domain)."""
     t0 = mm.mont_mul(c0, d0, ctx.chain)
     t1 = mm.add_mod(
@@ -288,7 +318,9 @@ def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext, ext_ctx: Ck
         ctx.chain,
     )
     t2 = mm.mont_mul(c1, d1, ctx.chain)
-    ks0, ks1 = _gadget_key_switch(t2, key_a, key_b, ctx, ext_ctx)
+    ks0, ks1 = _gadget_key_switch(
+        t2, key_a, key_b, ctx, ext_ctx, digit_size=digit_size
+    )
     return mm.add_mod(t0, ks0, ctx.chain), mm.add_mod(t1, ks1, ctx.chain)
 
 
@@ -397,9 +429,28 @@ class CkksEngine:
     # ── level-free homomorphic ops ───────────────────────────────────────
 
     @staticmethod
+    def _check_scale_match(s1: float, s2: float, op: str):
+        """SEAL-style scale check: two operands may share integer logp yet
+        carry different true scales (a rescaled ct vs a fresh encryption);
+        summing them silently adopts one scale. The 1% tolerance admits the
+        reference's fresh-operand-at-level idiom (per-rescale drift
+        (2^bits - q_last)/q_last ~ 1e-4, tests/integration_mul.rs:279-334)
+        while rejecting genuine mismatches (unrescaled Delta^2 vs Delta)."""
+        from .errors import CkksError
+
+        if abs(s1 - s2) > 1e-2 * max(abs(s1), abs(s2)):
+            raise CkksError(
+                f"true-scale mismatch in {op}: {s1!r} vs {s2!r} — rescale "
+                f"or mul_plain_scalar one operand to match scales first"
+            )
+
+    @staticmethod
     def add_ciphertexts(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         assert ct1.logp == ct2.logp, "logp mismatch in addition"
         assert ct1.logq == ct2.logq, "logq mismatch in addition"
+        CkksEngine._check_scale_match(
+            ct1.true_scale, ct2.true_scale, "add_ciphertexts"
+        )
         return Ciphertext(
             c0=ct1.c0 + ct2.c0,
             c1=ct1.c1 + ct2.c1,
@@ -418,6 +469,9 @@ class CkksEngine:
     def sub_ciphertexts(ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         assert ct1.logp == ct2.logp, "logp mismatch in subtraction"
         assert ct1.logq == ct2.logq, "logq mismatch in subtraction"
+        CkksEngine._check_scale_match(
+            ct1.true_scale, ct2.true_scale, "sub_ciphertexts"
+        )
         return Ciphertext(
             c0=ct1.c0 - ct2.c0,
             c1=ct1.c1 - ct2.c1,
@@ -467,6 +521,7 @@ class CkksEngine:
             rlk.b,
             ctx,
             rlk.ext_ctx,
+            digit_size=rlk.digit_size,
         )
         return Ciphertext(
             c0=Poly(c0, ctx, True),
@@ -506,7 +561,8 @@ class CkksEngine:
         c0_rot = ct.c0.rotate_slots(rotk.rotation)
         c1_rot = ct.c1.rotate_slots(rotk.rotation)
         ks0, ks1 = _gadget_key_switch(
-            c1_rot.to_ntt_domain().data, rotk.a, rotk.b, ctx, rotk.ext_ctx
+            c1_rot.to_ntt_domain().data, rotk.a, rotk.b, ctx, rotk.ext_ctx,
+            digit_size=rotk.digit_size,
         )
         c0_new = c0_rot.to_ntt_domain() + Poly(ks0, ctx, True)
         return Ciphertext(
@@ -549,6 +605,9 @@ class CkksEngine:
     @staticmethod
     def add_plain(ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         assert ct.logp == pt.scale_bits, "scale mismatch in add_plain"
+        CkksEngine._check_scale_match(
+            ct.true_scale, pt.true_scale, "add_plain"
+        )
         return Ciphertext(
             c0=ct.c0.to_ntt_domain() + pt.poly.to_ntt_domain(),
             c1=ct.c1,

@@ -70,20 +70,23 @@ def _mont_redc(a, b, q, qinv):
 
 
 @functools.lru_cache(maxsize=64)
-def _switch_consts(base_moduli: tuple, ext_moduli: tuple, num_digits: int):
+def _switch_consts(base_moduli: tuple, ext_moduli: tuple, digit_size: int):
     """Host tables for the in-kernel basis extension (plain, not traced).
 
     c[k, j]   = (Qhat_{t(k),k} * 2^32) mod q_j   (Harvey weight: maps the
                 plain yhat_k straight to Montgomery form of its alpha term)
     cs[k, j]  = Shoup companion floor(c * 2^32 / q_j)
     Plus per-ext-channel q and -q^{-1} mod 2^32 for the key REDC.
+    Keyed by the key's stored ``digit_size`` (never inferred from the digit
+    count — ceil(L/D) does not round-trip every valid digit_size).
     """
     from ..keys import digit_groups
 
     L = len(base_moduli)
     E = len(ext_moduli)
-    digit_size = -(-L // num_digits)
+    digit_size = min(digit_size, L)
     groups = digit_groups(L, digit_size)
+    num_digits = len(groups)
     dg = num_digits * digit_size
 
     c = np.zeros((dg, E), dtype=np.uint32)
@@ -156,18 +159,22 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "base_moduli", "ext_moduli", "degree", "interpret", "stack_limbs"
+        "base_moduli", "ext_moduli", "degree", "digit_size", "interpret",
+        "stack_limbs",
     ),
 )
 def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
                              base_moduli: tuple, ext_moduli: tuple,
-                             degree: int, interpret: bool = False,
+                             degree: int, digit_size: int = 1,
+                             interpret: bool = False,
                              stack_limbs: bool = True):
     """Fused decompose + raise + NTT + key inner product (small chains).
 
     y_plain: uint32 (..., L, N) plain coeff-domain yhat values (already
              multiplied by the digit-local CRT inverses).
     key_a/key_b: uint32 (D, E, 2, N) Montgomery NTT-domain key stacks.
+    digit_size: the key's stored decomposition width (D must equal
+             len(digit_groups(L, digit_size))).
     Returns (ks0, ks1): uint32 (..., E, 2, N) Montgomery NTT-domain digit
     inner products over QP (before the P mod-down).
     """
@@ -181,8 +188,10 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     s_count = n.bit_length() - 1
 
     cst, cst_s, q, qinv, digit_size = _switch_consts(
-        tuple(base_moduli), tuple(ext_moduli), D
+        tuple(base_moduli), tuple(ext_moduli), digit_size
     )
+    if D != -(-L // digit_size):
+        raise ValueError("key digit count does not match digit_size")
     fwd_w, fwd_wp = _planes_cached(tuple(ext_moduli), n)[:2]
 
     ka = key_a[..., 0, :].reshape(D, E, r, c)

@@ -137,7 +137,8 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
     ks0, ks1 = gadget_accumulate_pallas(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
-        degree=ctx.degree, interpret=interpret, stack_limbs=False,
+        degree=ctx.degree, digit_size=plan.digit_size,
+        interpret=interpret, stack_limbs=False,
     )
 
     from .moddown_pallas import inv_ntt_to_yhat, mod_down_combine_pallas
@@ -187,7 +188,8 @@ def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
     ks0, ks1 = gadget_accumulate_pallas(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
-        degree=ctx.degree, interpret=interpret, stack_limbs=False,
+        degree=ctx.degree, digit_size=plan.digit_size,
+        interpret=interpret, stack_limbs=False,
     )
 
     def down(ks):

@@ -29,7 +29,7 @@ __all__ = ["build_mul_relin_rescale", "build_rotate", "batched_mul_relin_rescale
 
 def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
                               ctx: CkksContext, ext_ctx: CkksContext,
-                              child_ctx: CkksContext):
+                              child_ctx: CkksContext, digit_size: int = 1):
     """One fused (batched) multiply + relinearize + rescale on raw arrays.
 
     Input/output: uint32 (B, L, 2, N) NTT-domain Montgomery residues
@@ -56,10 +56,13 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
     )
     from ..ops import modular as mm
 
+    from ..engine import _check_key_compat
+
+    _check_key_compat(ctx, key_a, digit_size)
     if pops._use_pallas(ext_ctx):
         from ..ops import small_fast as sf
 
-        plan = _switch_plan(ctx.moduli, ext_ctx.moduli, key_a.shape[-4])
+        plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
         o0, o1 = sf.mul_relin_rescale_lo(
             c0a[..., 0, :], c1a[..., 0, :], c0b[..., 0, :], c1b[..., 0, :],
             key_a, key_b, ctx, ext_ctx, plan,
@@ -67,8 +70,16 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(o0), stack(o1)
 
+    if pops._use_pallas_wide(ext_ctx):
+        from ..ops import wide_fast as wf
+
+        plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
+        return wf.mul_relin_rescale_wide(
+            c0a, c1a, c0b, c1b, key_a, key_b, ctx, ext_ctx, plan
+        )
+
     L = ctx.num_channels
-    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, key_a.shape[-4])
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
     p_mont, down_plan = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
 
     t0 = mm.mont_mul(c0a, c0b, ctx.chain)
@@ -92,13 +103,16 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
 def batched_mul_relin_rescale(ct_batch_a, ct_batch_b, rlk, ctx, child_ctx):
     """Convenience unsharded batched step (for tests and the benchmark)."""
     return _mul_relin_rescale_arrays(
-        *ct_batch_a, *ct_batch_b, rlk.a, rlk.b, ctx, rlk.ext_ctx, child_ctx
+        *ct_batch_a, *ct_batch_b, rlk.a, rlk.b, ctx, rlk.ext_ctx, child_ctx,
+        digit_size=rlk.digit_size,
     )
 
 
-def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext):
+def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext,
+                            digit_size: int = 1):
     """Jitted sharded batched multiply+relin+rescale over a (batch, channel)
-    mesh. Returns fn(c0a, c1a, c0b, c1b, key_a, key_b) -> (c0, c1)."""
+    mesh. Returns fn(c0a, c1a, c0b, c1b, key_a, key_b) -> (c0, c1).
+    ``digit_size`` must be the key's stored decomposition width."""
     child_ctx = ctx.drop_last(1)
     data_s = ct_spec(mesh)
     key_s = key_spec(mesh)
@@ -108,6 +122,7 @@ def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext):
         ctx=ctx,
         ext_ctx=ext_ctx,
         child_ctx=child_ctx,
+        digit_size=digit_size,
     )
     # out_shardings left to XLA: the rescaled output has L-1 channels,
     # which need not divide the channel axis; GSPMD picks the layout.
@@ -117,7 +132,8 @@ def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext):
     )
 
 
-def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext, perm):
+def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext, perm,
+                 digit_size: int = 1):
     """Jitted sharded batched rotation (automorphism + gadget key switch).
 
     ``perm``: NTT-domain automorphism permutation for the key's rotation
@@ -132,7 +148,9 @@ def build_rotate(mesh, ctx: CkksContext, ext_ctx: CkksContext, perm):
 
         c0_rot = jnp.take(c0, perm, axis=-1)
         c1_rot = jnp.take(c1, perm, axis=-1)
-        ks0, ks1 = _gadget_key_switch(c1_rot, key_a, key_b, ctx, ext_ctx)
+        ks0, ks1 = _gadget_key_switch(
+            c1_rot, key_a, key_b, ctx, ext_ctx, digit_size=digit_size
+        )
         return mm.add_mod(c0_rot, ks0, ctx.chain), ks1
 
     return jax.jit(

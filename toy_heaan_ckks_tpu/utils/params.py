@@ -95,12 +95,18 @@ def _next_up(start: int, degree: int) -> int | None:
     if available():
         p = first_prime_up(start, 2 * degree)
         return p or None
-    cand = start + 2 * degree
-    from ..math.primes import is_prime
+    # Pure-Python fallback must first snap the candidate into the
+    # p = 1 (mod 2N) congruence class: stepping by 2N from an arbitrary
+    # start (e.g. the even 2^scale_bits) stays in the wrong residue class
+    # and never reaches a prime at all.
+    from ..math.primes import _snap_up_to_congruence, is_prime
 
-    while not is_prime(cand):
+    cand = _snap_up_to_congruence(start + 1, 2 * degree)
+    while cand < (1 << 64):
+        if is_prime(cand):
+            return cand
         cand += 2 * degree
-    return cand
+    return None
 
 
 def _next_distinct(scale_bits: int, degree: int, used: set,
