@@ -1,0 +1,493 @@
+"""Fused hybrid gadget key-switch + mod-down Pallas kernels, WIDE chains.
+
+Two-limb (uint32 lo/hi) variants of ops/keyswitch_pallas.py and
+ops/moddown_pallas.py for prime chains with 2^31 <= q < 2^63 — the
+reference's heavyweight configurations (40/61/62-bit chains:
+tests/integration_mul.rs:47-51, examples/horner_chain.rs:65). Round 1 ran
+these with only the NTT accelerated; everything else fell back to the
+staged jnp path, leaving horner_chain at minutes per multiply.
+
+Same fusion shape as the small-prime kernels:
+
+  accumulate:  per (ext channel j, batch element) grid step, for each
+               digit t: alpha_t = sum_k yhat_k * (Qhat_tk * 2^64 mod q_j)
+               [Harvey64] -> forward NTT in VMEM -> REDC64 against the key
+               -> accumulate; the alpha tensor never exists in HBM.
+  mod-down:    ext_j = sum_m yhat_m * (Phat_m * 2^64 mod q_j) -> NTT ->
+               head = ks_j (+ t_j * t_scale) -> (head - ext) * P^{-1}.
+
+All multiplies by per-channel constants are Harvey64 (Shoup radix 2^64);
+the key inner product is a full Montgomery REDC (R = 2^64). Bit-exact with
+the generic jnp path (engine._gadget_accumulate / _mod_down_ntt):
+identical modular sums, canonical [0, q) representatives throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt_pallas import _butterfly_args, _layout, _shift
+from .ntt_pallas_wide import (
+    _add_mod64,
+    _harvey64,
+    _planes_cached_wide,
+    _sub_mod64,
+)
+from .u64 import add128, geq64, mul64_128, mullo64, select64, sub64
+
+
+def _redc64(a, b, q, qinv):
+    """Full Montgomery product a*b*2^{-64} mod q on u64 pairs (both
+    operands variable; out in [0, q))."""
+    t = mul64_128(a, b)
+    m = mullo64((t[0], t[1]), qinv)
+    mq = mul64_128(m, q)
+    s = add128(t, mq)
+    res = (s[2], s[3])
+    return select64(geq64(res, q), sub64(res, q), res)
+
+
+def _split2(v: int):
+    return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
+
+
+def _shoup64(w: int, q: int) -> int:
+    return (w << 64) // q
+
+
+def _fwd_stages_wide(x, w_ref, wp_ref, q, n: int, r: int, c: int):
+    """All forward butterfly stages on a VMEM-resident 2-limb plane."""
+    for s in range(n.bit_length() - 1):
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = (w_ref[0, s, 0].reshape(r, c), w_ref[0, s, 1].reshape(r, c))
+        wp = (wp_ref[0, s, 0].reshape(r, c), wp_ref[0, s, 1].reshape(r, c))
+        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+        v_at_u = shift2(x, amount)
+        u_at_v = shift2(x, -amount)
+        operand = select64(mask, v_at_u, x)
+        wv = _harvey64(operand, w, wp, q)
+        x = select64(mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q))
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def _switch_consts_wide(base_moduli: tuple, ext_moduli: tuple,
+                        digit_size: int):
+    """Host tables (2-limb) for the in-kernel basis extension.
+
+    c[k, j]  = (Qhat_{t(k),k} * 2^64) mod q_j  (plain yhat -> Montgomery
+               alpha term in one Harvey64)
+    cs[k, j] = floor(c * 2^64 / q_j)
+    Returned as separate lo/hi uint32 (dg, E) arrays (SMEM rank limit),
+    plus per-ext-channel q and -q^{-1} mod 2^64 pairs (E, 2).
+    """
+    from ..keys import digit_groups
+
+    L = len(base_moduli)
+    E = len(ext_moduli)
+    digit_size = min(digit_size, L)
+    groups = digit_groups(L, digit_size)
+    num_digits = len(groups)
+    dg = num_digits * digit_size
+
+    c_lo = np.zeros((dg, E), dtype=np.uint32)
+    c_hi = np.zeros((dg, E), dtype=np.uint32)
+    cs_lo = np.zeros((dg, E), dtype=np.uint32)
+    cs_hi = np.zeros((dg, E), dtype=np.uint32)
+    for t, grp in enumerate(groups):
+        for gi, k in enumerate(grp):
+            qhat = 1
+            for k2 in grp:
+                if k2 != k:
+                    qhat *= base_moduli[k2]
+            for j, qj in enumerate(ext_moduli):
+                w = (qhat << 64) % qj
+                ws = _shoup64(w, qj)
+                kk = t * digit_size + gi
+                c_lo[kk, j], c_hi[kk, j] = _split2(w)
+                cs_lo[kk, j], cs_hi[kk, j] = _split2(ws)
+    q = np.array([_split2(m) for m in ext_moduli], dtype=np.uint32)
+    qinv = np.array(
+        [_split2((-pow(m, -1, 1 << 64)) % (1 << 64)) for m in ext_moduli],
+        dtype=np.uint32,
+    )
+    return c_lo, c_hi, cs_lo, cs_hi, q, qinv, digit_size
+
+
+def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
+                    y_ref, w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref,
+                    *, n: int, r: int, c: int, num_digits: int,
+                    digit_size: int, num_base: int):
+    j = pl.program_id(0)
+    q = (q_ref[j, 0], q_ref[j, 1])
+    qinv = (qinv_ref[j, 0], qinv_ref[j, 1])
+    zero = jnp.zeros((r, c), jnp.uint32)
+    acc0 = (zero, zero)
+    acc1 = (zero, zero)
+    for t in range(num_digits):
+        x = None
+        for gi in range(digit_size):
+            k = t * digit_size + gi
+            if k >= num_base:
+                break
+            yk = (y_ref[0, k, 0], y_ref[0, k, 1])
+            cw = (clo_ref[k, j], chi_ref[k, j])
+            cwp = (cslo_ref[k, j], cshi_ref[k, j])
+            term = _harvey64(yk, cw, cwp, q)
+            x = term if x is None else _add_mod64(x, term, q)
+        x = _fwd_stages_wide(x, w_ref, wp_ref, q, n, r, c)
+        kb = (kb_ref[t, 0, 0], kb_ref[t, 0, 1])
+        ka = (ka_ref[t, 0, 0], ka_ref[t, 0, 1])
+        acc0 = _add_mod64(acc0, _redc64(x, kb, q, qinv), q)
+        acc1 = _add_mod64(acc1, _redc64(x, ka, q, qinv), q)
+    o0_ref[0, 0, 0], o0_ref[0, 0, 1] = acc0
+    o1_ref[0, 0, 0], o1_ref[0, 0, 1] = acc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_moduli", "ext_moduli", "degree", "digit_size", "interpret"
+    ),
+)
+def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
+                                  base_moduli: tuple, ext_moduli: tuple,
+                                  degree: int, digit_size: int = 1,
+                                  interpret: bool = False):
+    """Fused decompose + raise + NTT + key inner product (wide chains).
+
+    y_plain: uint32 (..., L, 2, N) plain coeff-domain yhat values.
+    key_a/key_b: uint32 (D, E, 2, N) Montgomery NTT-domain key stacks.
+    Returns (ks0, ks1): uint32 (..., E, 2, N) Montgomery NTT-domain digit
+    inner products over QP (before the P mod-down).
+    """
+    n = degree
+    r, c = _layout(n)
+    L = y_plain.shape[-3]
+    D, E = key_a.shape[0], key_a.shape[1]
+    lead = y_plain.shape[:-3]
+    y = y_plain.reshape(-1, L, 2, r, c)
+    outer = y.shape[0]
+    s_count = n.bit_length() - 1
+
+    c_lo, c_hi, cs_lo, cs_hi, q, qinv, digit_size = _switch_consts_wide(
+        tuple(base_moduli), tuple(ext_moduli), digit_size
+    )
+    if D != -(-L // digit_size):
+        raise ValueError("key digit count does not match digit_size")
+    fwd_w, fwd_wp = _planes_cached_wide(tuple(ext_moduli), n)[:2]
+
+    ka = key_a.reshape(D, E, 2, r, c)
+    kb = key_b.reshape(D, E, 2, r, c)
+
+    kernel = functools.partial(
+        _ks_kernel_wide, n=n, r=r, c=c, num_digits=D,
+        digit_size=digit_size, num_base=L,
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda j, o: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, s_count, 2, r, c), lambda j, o: (j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    key_spec = lambda: pl.BlockSpec(
+        (D, 1, 2, r, c), lambda j, o: (0, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, 2, r, c), lambda j, o: (o, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ks0, ks1 = pl.pallas_call(
+        kernel,
+        grid=(E, outer),
+        in_specs=[
+            smem(q.shape),
+            smem(qinv.shape),
+            smem(c_lo.shape),
+            smem(c_hi.shape),
+            smem(cs_lo.shape),
+            smem(cs_hi.shape),
+            pl.BlockSpec(
+                (1, L, 2, r, c), lambda j, o: (o, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            plane(),
+            plane(),
+            key_spec(),
+            key_spec(),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((outer, E, 2, r, c), jnp.uint32),
+            jax.ShapeDtypeStruct((outer, E, 2, r, c), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(q, qinv, c_lo, c_hi, cs_lo, cs_hi, y,
+      fwd_w.reshape(E, s_count, 2, r, c), fwd_wp.reshape(E, s_count, 2, r, c),
+      ka, kb)
+
+    def finish(x):
+        return x.reshape(*lead, E, 2, n)
+
+    return finish(ks0), finish(ks1)
+
+
+# ── fused mod-down (+ combine), wide chains ─────────────────────────────────
+
+
+@functools.lru_cache(maxsize=128)
+def _down_consts_wide(child_moduli: tuple, dropped_moduli: tuple,
+                      degree: int, t_scale: int = 0):
+    """2-limb host tables mirroring moddown_pallas._down_consts; all
+    constants returned as separate lo/hi uint32 arrays."""
+    n = degree
+    p_total = 1
+    for p in dropped_moduli:
+        p_total *= p
+    G = len(dropped_moduli)
+    L = len(child_moduli)
+
+    def pair_tab(shape):
+        return np.zeros(shape, dtype=np.uint32), np.zeros(shape, np.uint32)
+
+    c_lo, c_hi = pair_tab((G, L))
+    cs_lo, cs_hi = pair_tab((G, L))
+    for m, pm in enumerate(dropped_moduli):
+        phat = p_total // pm
+        for j, qj in enumerate(child_moduli):
+            w = (phat << 64) % qj
+            c_lo[m, j], c_hi[m, j] = _split2(w)
+            cs_lo[m, j], cs_hi[m, j] = _split2(_shoup64(w, qj))
+
+    pmod = np.zeros((L, 2), dtype=np.uint32)
+    pmod_s = np.zeros((L, 2), dtype=np.uint32)
+    pinv = np.zeros((L, 2), dtype=np.uint32)
+    pinv_s = np.zeros((L, 2), dtype=np.uint32)
+    for j, qj in enumerate(child_moduli):
+        w3 = t_scale % qj
+        pmod[j] = _split2(w3)
+        pmod_s[j] = _split2(_shoup64(w3, qj))
+        w2 = pow(p_total % qj, -1, qj)
+        pinv[j] = _split2(w2)
+        pinv_s[j] = _split2(_shoup64(w2, qj))
+
+    # inverse-NTT final constants emitting plain yhat (see moddown_pallas):
+    # pre-final accumulator is Mont(c*N) with R = 2^64.
+    yfin = np.zeros((G, 2), dtype=np.uint32)
+    yfin_s = np.zeros((G, 2), dtype=np.uint32)
+    for m, pm in enumerate(dropped_moduli):
+        phat = p_total // pm
+        w = (
+            pow(n, -1, pm) * pow(phat % pm, -1, pm) * pow(1 << 64, -1, pm)
+        ) % pm
+        yfin[m] = _split2(w)
+        yfin_s[m] = _split2(_shoup64(w, pm))
+
+    q_child = np.array([_split2(q) for q in child_moduli], dtype=np.uint32)
+    return (c_lo, c_hi, cs_lo, cs_hi, pmod, pmod_s, pinv, pinv_s,
+            yfin, yfin_s, q_child)
+
+
+def _inv_yhat_kernel_wide(q_ref, fin_ref, finp_ref, x_ref, w_ref, wp_ref,
+                          o_ref, *, n: int, r: int, c: int):
+    """Inverse NTT emitting plain yhat (final constant folded in)."""
+    ch = pl.program_id(0)
+    q = (q_ref[ch, 0], q_ref[ch, 1])
+    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    s_count = n.bit_length() - 1
+    for s in range(s_count - 1, -1, -1):
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = (w_ref[0, s, 0].reshape(r, c), w_ref[0, s, 1].reshape(r, c))
+        wp = (wp_ref[0, s, 0].reshape(r, c), wp_ref[0, s, 1].reshape(r, c))
+        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+        v_at_u = shift2(x, amount)
+        u_at_v = shift2(x, -amount)
+        total = _add_mod64(x, v_at_u, q)
+        diff = _sub_mod64(u_at_v, x, q)
+        wv = _harvey64(diff, w, wp, q)
+        x = select64(mask, total, wv)
+    fin = (fin_ref[ch, 0], fin_ref[ch, 1])
+    finp = (finp_ref[ch, 0], finp_ref[ch, 1])
+    x = _harvey64(x, fin, finp, q)
+    o_ref[0, 0, 0], o_ref[0, 0, 1] = x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dropped_moduli", "child_moduli", "degree", "interpret"),
+)
+def inv_ntt_to_yhat_wide(x_dropped, dropped_moduli: tuple,
+                         child_moduli: tuple, degree: int,
+                         interpret: bool = False):
+    """Inverse NTT of the dropped channels emitting PLAIN yhat directly.
+    x: (..., G, 2, N) Montgomery NTT-domain limb data."""
+    consts = _down_consts_wide(
+        tuple(child_moduli), tuple(dropped_moduli), degree
+    )
+    yfin, yfin_s = consts[8], consts[9]
+    _, _, inv_w, inv_wp, q, _, _ = _planes_cached_wide(
+        tuple(dropped_moduli), degree
+    )
+    n = degree
+    r, c = _layout(n)
+    G = len(dropped_moduli)
+    lead = x_dropped.shape[:-3]
+    x = x_dropped.reshape(-1, G, 2, r, c)
+    outer = x.shape[0]
+    s_count = n.bit_length() - 1
+
+    kernel = functools.partial(_inv_yhat_kernel_wide, n=n, r=r, c=c)
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, s_count, 2, r, c), lambda ch, o: (ch, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, outer),
+        in_specs=[smem(q.shape), smem(yfin.shape), smem(yfin_s.shape),
+                  data_spec(), plane(), plane()],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(q, yfin, yfin_s, x, inv_w.reshape(G, s_count, 2, r, c),
+      inv_wp.reshape(G, s_count, 2, r, c))
+    return out.reshape(*lead, G, 2, n)
+
+
+def _md_core_wide(q_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
+                  pm_ref, pms_ref, pi_ref, pis_ref,
+                  yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
+                  n: int, r: int, c: int, n_dropped: int):
+    j = pl.program_id(0)
+    q = (q_ref[j, 0], q_ref[j, 1])
+    ext = None
+    for m in range(n_dropped):
+        ym = (yhat_ref[0, m, 0], yhat_ref[0, m, 1])
+        cw = (clo_ref[m, j], chi_ref[m, j])
+        cwp = (cslo_ref[m, j], cshi_ref[m, j])
+        term = _harvey64(ym, cw, cwp, q)
+        ext = term if ext is None else _add_mod64(ext, term, q)
+    ext = _fwd_stages_wide(ext, w_ref, wp_ref, q, n, r, c)
+    head = (head_ref[0, 0, 0], head_ref[0, 0, 1])
+    if t_ref is not None:
+        tv = (t_ref[0, 0, 0], t_ref[0, 0, 1])
+        tp = _harvey64(
+            tv, (pm_ref[j, 0], pm_ref[j, 1]), (pms_ref[j, 0], pms_ref[j, 1]),
+            q,
+        )
+        head = _add_mod64(head, tp, q)
+    diff = _sub_mod64(head, ext, q)
+    out = _harvey64(
+        diff, (pi_ref[j, 0], pi_ref[j, 1]), (pis_ref[j, 0], pis_ref[j, 1]), q
+    )
+    o_ref[0, 0, 0], o_ref[0, 0, 1] = out
+
+
+def _md_kernel_wide_no_t(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
+                         yhat_ref, head_ref, w_ref, wp_ref, o_ref,
+                         *, n, r, c, n_dropped):
+    _md_core_wide(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
+                  yhat_ref, head_ref, None, w_ref, wp_ref, o_ref,
+                  n, r, c, n_dropped)
+
+
+def _md_kernel_wide_t(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
+                      yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
+                      *, n, r, c, n_dropped):
+    _md_core_wide(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
+                  yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
+                  n, r, c, n_dropped)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "child_moduli", "dropped_moduli", "degree", "interpret", "t_scale"
+    ),
+)
+def mod_down_combine_pallas_wide(yhat, ks, t=None, *, child_moduli: tuple,
+                                 dropped_moduli: tuple, degree: int,
+                                 interpret: bool = False, t_scale: int = 0):
+    """out_j = ((t_j * t_scale if t) + ks_j - NTT(ext_j)) * P^{-1} (wide).
+
+    yhat: (..., G, 2, N) plain; ks/t: (..., L', 2, N) Montgomery NTT limb
+    data. P = prod(dropped_moduli). Returns (..., L', 2, N).
+    """
+    n = degree
+    r, cdim = _layout(n)
+    G = len(dropped_moduli)
+    Lc = len(child_moduli)
+    lead = ks.shape[:-3]
+    y = yhat.reshape(-1, G, 2, r, cdim)
+    k = ks.reshape(-1, Lc, 2, r, cdim)
+    outer = y.shape[0]
+    s_count = n.bit_length() - 1
+
+    (c_lo, c_hi, cs_lo, cs_hi, pmod, pmod_s, pinv, pinv_s, _, _,
+     q_child) = _down_consts_wide(
+        tuple(child_moduli), tuple(dropped_moduli), degree, t_scale
+    )
+    fwd_w, fwd_wp = _planes_cached_wide(tuple(child_moduli), degree)[:2]
+
+    has_t = t is not None
+    kernel = functools.partial(
+        _md_kernel_wide_t if has_t else _md_kernel_wide_no_t,
+        n=n, r=r, c=cdim, n_dropped=G,
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data = lambda nch: pl.BlockSpec(
+        (1, nch, 2, r, cdim), lambda j, o: (o, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    per_ch = lambda: pl.BlockSpec(
+        (1, 1, 2, r, cdim), lambda j, o: (o, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, s_count, 2, r, cdim), lambda j, o: (j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        smem(q_child.shape), smem(c_lo.shape), smem(c_hi.shape),
+        smem(cs_lo.shape), smem(cs_hi.shape),
+        smem(pmod.shape), smem(pmod_s.shape),
+        smem(pinv.shape), smem(pinv_s.shape),
+        data(G), per_ch(),
+    ]
+    args = [q_child, c_lo, c_hi, cs_lo, cs_hi, pmod, pmod_s, pinv, pinv_s,
+            y, k]
+    if has_t:
+        in_specs.append(per_ch())
+        args.append(t.reshape(-1, Lc, 2, r, cdim))
+    in_specs += [plane(), plane()]
+    args += [fwd_w.reshape(Lc, s_count, 2, r, cdim),
+             fwd_wp.reshape(Lc, s_count, 2, r, cdim)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Lc, outer),
+        in_specs=in_specs,
+        out_specs=per_ch(),
+        out_shape=jax.ShapeDtypeStruct((outer, Lc, 2, r, cdim), jnp.uint32),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, Lc, 2, n)
