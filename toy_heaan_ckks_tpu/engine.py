@@ -254,7 +254,7 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext,
     _check_key_compat(ctx, key_a, digit_size)
     plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
 
-    if pops._use_pallas(ext_ctx):
+    if pops._use_pallas_fused(ext_ctx):
         from .ops import small_fast as sf
 
         ks0, ks1 = sf.key_switch_lo(
@@ -263,7 +263,7 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext,
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(ks0), stack(ks1)
 
-    if pops._use_pallas_wide(ext_ctx):
+    if pops._use_pallas_wide_fused(ext_ctx):
         from .ops import wide_fast as wf
 
         return wf.key_switch_wide(d_ntt, key_a, key_b, ctx, ext_ctx, plan)

@@ -58,14 +58,22 @@ def _layout(n: int) -> tuple[int, int]:
 
 
 def supported(degree: int, small: bool) -> bool:
-    """Small chains, power-of-two N in [2^10, 2^15]. Above 2^15 the
-    expanded twiddle planes exceed VMEM (the N=2^16 compile fails); the
-    staged jnp path takes over there."""
+    """Small chains, power-of-two N in [2^10, 2^16].
+
+    N <= 2^15 uses fully expanded per-stage twiddle planes; N = 2^16 uses
+    the factored row x lane twiddle kernel (the expanded planes exceed
+    VMEM there — per stage the (N,) plane splits into a (R,) row factor
+    and a (C,) lane factor whose product is the plane, costing one extra
+    Harvey multiply per deep-stage butterfly)."""
     return (
         small
-        and 1024 <= degree <= (1 << 15)
+        and 1024 <= degree <= (1 << 16)
         and degree & (degree - 1) == 0
     )
+
+
+def _use_factored(degree: int) -> bool:
+    return degree > (1 << 15)
 
 
 # ── host-side twiddle plane expansion ────────────────────────────────────────
@@ -227,6 +235,167 @@ def _reduce_2q_q(x, q):
     return jnp.where(x >= q, x - q, x)
 
 
+# ── factored row x lane twiddles (N > 2^15: expanded planes exceed VMEM) ─────
+#
+# Stage s repeats each of its 2^s twiddles over a group of rep = N/2^s
+# consecutive positions. In the (R, C) layout, when rep >= C the twiddle is
+# a function of the row alone -> an (R,) column factor. When rep < C the
+# group index g splits as (r << k) | (c // rep) with 2^k = C/rep, and the
+# CRT-tree exponents satisfy the additive split
+#     e[(r << k) | g_lo] == e[r << k] + e[g_lo] - e[0]   (mod 2N)
+# so the twiddle plane is an outer product of an (R,) row factor
+# psi^{e[r<<k]} and a (C,) lane factor psi^{e[c//rep]-e[0]} — one extra
+# Harvey multiply per deep-stage butterfly instead of an (N,) plane.
+
+
+def _tw_mul(x, tw, q, lazy: bool):
+    """Multiply by a (possibly factored) twiddle. tw = (rw, rwp, lw, lwp);
+    lw None -> single Harvey by the row factor. Output [0, 2q) when lazy,
+    canonical [0, q) otherwise. x may be any u32 (Harvey domain)."""
+    rw, rwp, lw, lwp = tw
+    if lw is None:
+        return _harvey_mul_lazy(x, rw, rwp, q) if lazy else _harvey_mul(
+            x, rw, rwp, q
+        )
+    t = _harvey_mul(x, rw, rwp, q)
+    return _harvey_mul_lazy(t, lw, lwp, q) if lazy else _harvey_mul(
+        t, lw, lwp, q
+    )
+
+
+def _fwd_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
+    """Forward butterfly with factored-twiddle support ([0, 4q) lazy)."""
+    xr = jnp.where(x >= 2 * q, x - 2 * q, x)  # < 2q
+    v_at_u = _shift(x, amount, axis)
+    u_at_v = _shift(xr, -amount, axis)
+    operand = jnp.where(mask, v_at_u, x)
+    t = _tw_mul(operand, tw, q, lazy=True)  # < 2q
+    return jnp.where(mask, xr + t, u_at_v + 2 * q - t)  # < 4q
+
+
+def _inv_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
+    """Inverse (GS) butterfly with factored-twiddle support ([0, 2q))."""
+    v_at_u = _shift(x, amount, axis)
+    u_at_v = _shift(x, -amount, axis)
+    total = x + v_at_u
+    total = jnp.where(total >= 2 * q, total - 2 * q, total)
+    diff = u_at_v + 2 * q - x  # < 4q
+    t = _tw_mul(diff, tw, q, lazy=True)  # < 2q
+    return jnp.where(mask, total, t)
+
+
+@functools.lru_cache(maxsize=32)
+def _planes_factored_cached(moduli: tuple[int, ...], degree: int):
+    """Factored per-stage twiddles + Shoup companions.
+
+    Returns (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw,
+    inv_lwp, q, ninv, ninvp): row factors uint32 (L, S, R), lane factors
+    uint32 (L, S, C) (identity rows for stages with rep >= C).
+    """
+    from ..math.primes import find_primitive_root
+    from .ntt import tree_exponent_stages
+
+    n = degree
+    two_n = 2 * n
+    r_dim, c_dim = _layout(n)
+    stages_e = tree_exponent_stages(n)
+    S = len(stages_e)
+    L = len(moduli)
+
+    def shoup(w: int, q: int) -> int:
+        return (w << 32) // q
+
+    shp_r, shp_c = (L, S, r_dim), (L, S, c_dim)
+    fwd_rw = np.empty(shp_r, np.uint32)
+    fwd_rwp = np.empty(shp_r, np.uint32)
+    inv_rw = np.empty(shp_r, np.uint32)
+    inv_rwp = np.empty(shp_r, np.uint32)
+    fwd_lw = np.ones(shp_c, np.uint32)
+    fwd_lwp = np.zeros(shp_c, np.uint32)
+    inv_lw = np.ones(shp_c, np.uint32)
+    inv_lwp = np.zeros(shp_c, np.uint32)
+    for li, q in enumerate(moduli):
+        psi = find_primitive_root(q, two_n)
+        for s, exps in enumerate(stages_e):
+            rep = n >> s
+
+            def fill(dst_w, dst_wp, idx, es):
+                vals = np.array([pow(psi, e % two_n, q) for e in es],
+                                dtype=np.uint64)
+                wps = np.array([shoup(int(w), q) for w in vals],
+                               dtype=np.uint64)
+                dst_w[li, s] = vals[idx].astype(np.uint32)
+                dst_wp[li, s] = wps[idx].astype(np.uint32)
+
+            if rep >= c_dim:
+                rows_per_group = rep // c_dim
+                ridx = np.arange(r_dim) // rows_per_group
+                fill(fwd_rw, fwd_rwp, ridx, exps)
+                fill(inv_rw, inv_rwp, ridx, [two_n - e for e in exps])
+            else:
+                k = (c_dim // rep).bit_length() - 1
+                ridx = np.arange(r_dim)
+                row_e = [exps[r << k] for r in range(r_dim)]
+                lane_e = [
+                    (exps[c // rep] - exps[0]) % two_n for c in range(c_dim)
+                ]
+                fill(fwd_rw, fwd_rwp, ridx, row_e)
+                fill(inv_rw, inv_rwp, ridx, [two_n - e for e in row_e])
+                cidx = np.arange(c_dim)
+                fill(fwd_lw, fwd_lwp, cidx, lane_e)
+                fill(inv_lw, inv_lwp, cidx,
+                     [(two_n - e) % two_n for e in lane_e])
+
+    q_arr = np.array([[q] for q in moduli], dtype=np.uint32)
+    ninv_arr = np.array([[pow(n, -1, q)] for q in moduli], dtype=np.uint32)
+    ninvp_arr = np.array(
+        [[shoup(pow(n, -1, q), q)] for q in moduli], dtype=np.uint32
+    )
+    return (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw,
+            inv_lwp, q_arr, ninv_arr, ninvp_arr)
+
+
+def _ntt_kernel_fac(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
+                    lw_ref, lwp_ref, o_ref,
+                    *, n: int, r: int, c: int, inverse: bool, lazy: bool):
+    ch = pl.program_id(0)
+    q = q_ref[ch, 0]
+    x = x_ref[0, 0]
+    s_count = n.bit_length() - 1
+    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        rep = n >> s
+        rw = rw_ref[0, s].reshape(r, 1)
+        rwp = rwp_ref[0, s].reshape(r, 1)
+        if rep >= c:
+            tw = (rw, rwp, None, None)
+        else:
+            tw = (rw, rwp, lw_ref[0, s].reshape(1, c),
+                  lwp_ref[0, s].reshape(1, c))
+        if lazy:
+            x = (_inv_stage_lazy_tw if inverse else _fwd_stage_lazy_tw)(
+                x, tw, q, axis, amount, mask
+            )
+            continue
+        v_at_u = _shift(x, amount, axis)
+        u_at_v = _shift(x, -amount, axis)
+        if inverse:
+            total = _add_mod(x, v_at_u, q)
+            diff = _sub_mod(u_at_v, x, q)
+            x = jnp.where(mask, total, _tw_mul(diff, tw, q, lazy=False))
+        else:
+            operand = jnp.where(mask, v_at_u, x)
+            wv = _tw_mul(operand, tw, q, lazy=False)
+            x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+    if inverse:
+        x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
+    elif lazy:
+        x = _reduce_2q_q(x, q)
+    o_ref[0, 0] = x
+
+
 def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
                 *, n: int, r: int, c: int, inverse: bool, lazy: bool):
     ch = pl.program_id(0)
@@ -323,18 +492,76 @@ def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
     return out.reshape(*lead, L, n)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("degree", "inverse", "interpret", "lazy")
+)
+def _ntt_factored_call(lo, rw, rwp, lw, lwp, q, ninv, ninvp, *, degree: int,
+                       inverse: bool, interpret: bool = False,
+                       lazy: bool = False):
+    """Factored-twiddle NTT call: lo uint32 (..., L, N) -> same shape."""
+    n = degree
+    r, c = _layout(n)
+    lead = lo.shape[:-2]
+    L = lo.shape[-2]
+    x = lo.reshape(-1, L, r, c)
+    outer = x.shape[0]
+    s_count = n.bit_length() - 1
+
+    kernel = functools.partial(
+        _ntt_kernel_fac, n=n, r=r, c=c, inverse=inverse, lazy=lazy
+    )
+    smem = lambda: pl.BlockSpec(
+        (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, r, c), lambda ch, o: (o, ch, 0, 0), memory_space=pltpu.VMEM
+    )
+    fac_spec = lambda dim: pl.BlockSpec(
+        (1, s_count, dim), lambda ch, o: (ch, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, outer),
+        in_specs=[
+            smem(), smem(), smem(),
+            data_spec(),
+            fac_spec(r), fac_spec(r), fac_spec(c), fac_spec(c),
+        ],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(q, ninv, ninvp, x, rw, rwp, lw, lwp)
+    return out.reshape(*lead, L, n)
+
+
 def ntt_pallas(data: jnp.ndarray, moduli: tuple[int, ...], degree: int,
                inverse: bool, interpret: bool = False) -> jnp.ndarray:
     """Drop-in NTT on (..., L, 2, N) uint32 limb data (hi limbs zero).
 
     Semantics identical to ``ntt.forward_ntt`` / ``ntt.inverse_ntt`` for
     small chains: Montgomery-form residues, tree-order NTT domain.
+    N > 2^15 routes to the factored row x lane twiddle kernel.
     """
+    lo = data[..., 0, :]
+    if _use_factored(degree):
+        tabs = _planes_factored_cached(tuple(moduli), degree)
+        (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw,
+         inv_lwp, q, ninv, ninvp) = tabs
+        rw, rwp, lw, lwp = (
+            (inv_rw, inv_rwp, inv_lw, inv_lwp) if inverse
+            else (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp)
+        )
+        out_lo = _ntt_factored_call(
+            lo, rw, rwp, lw, lwp, q, ninv, ninvp,
+            degree=degree, inverse=inverse, interpret=interpret,
+            lazy=lazy_ok(moduli),
+        )
+        return jnp.stack([out_lo, jnp.zeros_like(out_lo)], axis=-2)
     fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached(
         tuple(moduli), degree
     )
     w_planes, wp_planes = (inv_w, inv_wp) if inverse else (fwd_w, fwd_wp)
-    lo = data[..., 0, :]
     out_lo = _ntt_planes_call(
         lo, w_planes, wp_planes, q, ninv, ninvp,
         degree=degree, inverse=inverse, interpret=interpret,

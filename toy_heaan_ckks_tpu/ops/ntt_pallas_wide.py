@@ -29,13 +29,20 @@ from .u64 import add64, geq64, mul64_128, mullo64, select64, sub64
 
 
 def supported_wide(degree: int, moduli) -> bool:
-    """Power-of-two N in [2^10, 2^14] (twiddle planes are 2x the small
-    kernel's, so the VMEM cap is one octave lower); any odd q < 2^63."""
+    """Power-of-two N in [2^10, 2^16]; any odd q < 2^63.
+
+    N <= 2^14 uses fully expanded per-stage twiddle planes (2x the small
+    kernel's footprint, so the VMEM cap sits one octave lower); above that
+    the factored row x lane twiddle kernel takes over."""
     return (
-        1024 <= degree <= (1 << 14)
+        1024 <= degree <= (1 << 16)
         and degree & (degree - 1) == 0
         and all(int(m) < (1 << 63) for m in moduli)
     )
+
+
+def _use_factored_wide(degree: int) -> bool:
+    return degree > (1 << 14)
 
 
 @functools.lru_cache(maxsize=64)
@@ -144,13 +151,210 @@ def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
     o_ref[0, 0, 1] = x[1]
 
 
+# ── factored row x lane twiddles (N > 2^14; see ntt_pallas.py for the
+#    additive exponent-split derivation) ────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=32)
+def _planes_factored_cached_wide(moduli: tuple[int, ...], degree: int):
+    """Factored per-stage twiddles as limb pairs.
+
+    Returns (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw,
+    inv_lwp, q, ninv, ninvp): row factors uint32 (L, S, 2, R), lane
+    factors (L, S, 2, C) (identity rows for stages with rep >= C).
+    """
+    from ..math.primes import find_primitive_root
+    from .ntt import tree_exponent_stages
+
+    n = degree
+    two_n = 2 * n
+    r_dim, c_dim = _layout(n)
+    stages_e = tree_exponent_stages(n)
+    S = len(stages_e)
+    L = len(moduli)
+
+    def split(v):
+        return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
+
+    def shoup(w, q):
+        return (w << 64) // q
+
+    shp_r, shp_c = (L, S, 2, r_dim), (L, S, 2, c_dim)
+    fwd_rw = np.zeros(shp_r, np.uint32)
+    fwd_rwp = np.zeros(shp_r, np.uint32)
+    inv_rw = np.zeros(shp_r, np.uint32)
+    inv_rwp = np.zeros(shp_r, np.uint32)
+    fwd_lw = np.zeros(shp_c, np.uint32)
+    fwd_lwp = np.zeros(shp_c, np.uint32)
+    inv_lw = np.zeros(shp_c, np.uint32)
+    inv_lwp = np.zeros(shp_c, np.uint32)
+    # identity lanes: w = 1, wp = floor(2^64 / q)
+    for li, q in enumerate(moduli):
+        one_p = shoup(1, q)
+        for limb in range(2):
+            fwd_lw[li, :, limb] = split(1)[limb]
+            fwd_lwp[li, :, limb] = split(one_p)[limb]
+            inv_lw[li, :, limb] = split(1)[limb]
+            inv_lwp[li, :, limb] = split(one_p)[limb]
+
+    for li, q in enumerate(moduli):
+        psi = find_primitive_root(q, two_n)
+        for s, exps in enumerate(stages_e):
+            rep = n >> s
+
+            def fill(dst_w, dst_wp, es):
+                ws = [pow(psi, e % two_n, q) for e in es]
+                for limb in range(2):
+                    dst_w[li, s, limb] = np.array(
+                        [split(w)[limb] for w in ws], dtype=np.uint32
+                    )
+                    dst_wp[li, s, limb] = np.array(
+                        [split(shoup(w, q))[limb] for w in ws],
+                        dtype=np.uint32,
+                    )
+
+            if rep >= c_dim:
+                rows_per_group = rep // c_dim
+                row_e = [exps[r // rows_per_group] for r in range(r_dim)]
+                fill(fwd_rw, fwd_rwp, row_e)
+                fill(inv_rw, inv_rwp, [two_n - e for e in row_e])
+            else:
+                k = (c_dim // rep).bit_length() - 1
+                row_e = [exps[r << k] for r in range(r_dim)]
+                lane_e = [
+                    (exps[c // rep] - exps[0]) % two_n for c in range(c_dim)
+                ]
+                fill(fwd_rw, fwd_rwp, row_e)
+                fill(inv_rw, inv_rwp, [two_n - e for e in row_e])
+                fill(fwd_lw, fwd_lwp, lane_e)
+                fill(inv_lw, inv_lwp, [(two_n - e) % two_n for e in lane_e])
+
+    pack2 = lambda vals: np.array(
+        [split(int(v)) for v in vals], dtype=np.uint32
+    )
+    q_arr = pack2(moduli)
+    ninv = pack2([pow(n, -1, q) for q in moduli])
+    ninvp = pack2([shoup(pow(n, -1, q), q) for q in moduli])
+    return (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw,
+            inv_lwp, q_arr, ninv, ninvp)
+
+
+def _tw_mul64(x, tw, q):
+    """Multiply u64 pairs by a (possibly factored) twiddle; canonical out."""
+    rw, rwp, lw, lwp = tw
+    t = _harvey64(x, rw, rwp, q)
+    if lw is None:
+        return t
+    return _harvey64(t, lw, lwp, q)
+
+
+def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
+                         lw_ref, lwp_ref, o_ref,
+                         *, n: int, r: int, c: int, inverse: bool):
+    ch = pl.program_id(0)
+    q = (q_ref[ch, 0], q_ref[ch, 1])
+    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    s_count = n.bit_length() - 1
+    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        rep = n >> s
+        rw = (rw_ref[0, s, 0].reshape(r, 1), rw_ref[0, s, 1].reshape(r, 1))
+        rwp = (rwp_ref[0, s, 0].reshape(r, 1),
+               rwp_ref[0, s, 1].reshape(r, 1))
+        if rep >= c:
+            tw = (rw, rwp, None, None)
+        else:
+            lw = (lw_ref[0, s, 0].reshape(1, c),
+                  lw_ref[0, s, 1].reshape(1, c))
+            lwp = (lwp_ref[0, s, 0].reshape(1, c),
+                   lwp_ref[0, s, 1].reshape(1, c))
+            tw = (rw, rwp, lw, lwp)
+        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+        v_at_u = shift2(x, amount)
+        u_at_v = shift2(x, -amount)
+        if inverse:
+            total = _add_mod64(x, v_at_u, q)
+            diff = _sub_mod64(u_at_v, x, q)
+            wv = _tw_mul64(diff, tw, q)
+            x = select64(mask, total, wv)
+        else:
+            operand = select64(mask, v_at_u, x)
+            wv = _tw_mul64(operand, tw, q)
+            x = select64(
+                mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q)
+            )
+    if inverse:
+        ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
+        ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
+        x = _harvey64(x, ninv, ninvp, q)
+    o_ref[0, 0, 0] = x[0]
+    o_ref[0, 0, 1] = x[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("moduli", "degree", "inverse", "interpret")
+)
+def _ntt_factored_wide(data, moduli: tuple, degree: int, inverse: bool,
+                       interpret: bool = False):
+    moduli = tuple(int(m) for m in moduli)
+    tabs = _planes_factored_cached_wide(moduli, degree)
+    (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp, inv_rw, inv_rwp, inv_lw, inv_lwp,
+     q, ninv, ninvp) = tabs
+    rw, rwp, lw, lwp = (
+        (inv_rw, inv_rwp, inv_lw, inv_lwp) if inverse
+        else (fwd_rw, fwd_rwp, fwd_lw, fwd_lwp)
+    )
+    n = degree
+    r, c = _layout(n)
+    lead = data.shape[:-3]
+    L = data.shape[-3]
+    x = data.reshape(-1, L, 2, r, c)
+    outer = x.shape[0]
+    s_count = n.bit_length() - 1
+
+    kernel = functools.partial(
+        _ntt_kernel_fac_wide, n=n, r=r, c=c, inverse=inverse
+    )
+    smem = lambda: pl.BlockSpec(
+        (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    fac_spec = lambda dim: pl.BlockSpec(
+        (1, s_count, 2, dim), lambda ch, o: (ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, outer),
+        in_specs=[
+            smem(), smem(), smem(),
+            data_spec(),
+            fac_spec(r), fac_spec(r), fac_spec(c), fac_spec(c),
+        ],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(q, ninv, ninvp, x, rw, rwp, lw, lwp)
+    return out.reshape(*lead, L, 2, n)
+
+
 @functools.partial(
     jax.jit, static_argnames=("moduli", "degree", "inverse", "interpret")
 )
 def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
                     interpret: bool = False):
-    """Drop-in NTT on (..., L, 2, N) uint32 limb data (generic chains)."""
+    """Drop-in NTT on (..., L, 2, N) uint32 limb data (generic chains).
+    N > 2^14 routes to the factored row x lane twiddle kernel."""
     moduli = tuple(int(m) for m in moduli)
+    if _use_factored_wide(degree):
+        return _ntt_factored_wide(
+            data, moduli, degree, inverse, interpret=interpret
+        )
     fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached_wide(
         moduli, degree
     )

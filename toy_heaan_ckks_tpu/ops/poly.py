@@ -46,6 +46,14 @@ def _use_pallas(ctx: CkksContext) -> bool:
     return _on_tpu() and ntt_pallas.supported(ctx.degree, ctx.chain.small)
 
 
+def _use_pallas_fused(ctx: CkksContext) -> bool:
+    """Fused composite (key-switch / mod-down / fused-mult) eligibility:
+    the composite kernels run their NTT stages on fully expanded in-kernel
+    twiddle planes, which fit VMEM only to N = 2^15 (the standalone NTT
+    covers 2^16 via factored row x lane twiddles)."""
+    return _use_pallas(ctx) and ctx.degree <= (1 << 15)
+
+
 def _use_pallas_wide(ctx: CkksContext) -> bool:
     """Wide-prime (2-limb) fused Pallas kernel eligibility."""
     from . import ntt_pallas_wide
@@ -55,6 +63,12 @@ def _use_pallas_wide(ctx: CkksContext) -> bool:
         and not ntt_pallas.supported(ctx.degree, ctx.chain.small)
         and ntt_pallas_wide.supported_wide(ctx.degree, ctx.moduli)
     )
+
+
+def _use_pallas_wide_fused(ctx: CkksContext) -> bool:
+    """Wide fused composite eligibility (in-kernel expanded twiddle planes
+    fit VMEM only to N = 2^14 on the 2-limb path)."""
+    return _use_pallas_wide(ctx) and ctx.degree <= (1 << 14)
 
 # ── Functional kernels (jitted; data = uint32 (..., L, 2, N) Montgomery) ────
 

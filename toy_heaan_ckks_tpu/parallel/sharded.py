@@ -59,7 +59,7 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
     from ..engine import _check_key_compat
 
     _check_key_compat(ctx, key_a, digit_size)
-    if pops._use_pallas(ext_ctx):
+    if pops._use_pallas_fused(ext_ctx):
         from ..ops import small_fast as sf
 
         plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
@@ -70,7 +70,7 @@ def _mul_relin_rescale_arrays(c0a, c1a, c0b, c1b, key_a, key_b,
         stack = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
         return stack(o0), stack(o1)
 
-    if pops._use_pallas_wide(ext_ctx):
+    if pops._use_pallas_wide_fused(ext_ctx):
         from ..ops import wide_fast as wf
 
         plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
