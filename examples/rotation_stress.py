@@ -1,6 +1,7 @@
 """Rotation stress test (reference: examples/rotation_stress.rs).
 
-Applies k = 1..200 chained rotations and verifies the error stays under a
+Applies k = 1..800 chained rotations (reference checkpoints to k=800,
+rotation_stress.rs:62-105) and verifies the error stays under a
 linear noise model err <= k * per_rot at checkpoints. With hybrid
 (special-prime) key switching the per-rotation noise is ~ sqrt(N)*L*sigma/
 Delta — far below the reference's ~2e-7 model at the same parameters.
@@ -17,7 +18,7 @@ from toy_heaan_ckks_tpu.math.sampling import make_rng
 N = 32
 SLOTS = 16
 SCALE = 58
-CHECKPOINTS = (1, 2, 4, 8, 16, 50, 100, 200)
+CHECKPOINTS = (1, 2, 4, 8, 16, 50, 100, 200, 400, 800)
 PER_ROT = 2e-7  # reference's linear noise model (rotation_stress.rs:1-7)
 
 
