@@ -108,3 +108,55 @@ def test_full_slot_encode_large_degree():
     pt = enc.encode(vals, ctx)
     out = enc.decode(pt)
     assert np.max(np.abs(out - vals)) < 1e-9
+
+
+def test_native_encode_path_bit_identical():
+    """The native reduce_coeffs fast path must produce the same residues
+    as the exact object-int oracle (reference encode hot loop,
+    ckks_encoder.rs:101-122)."""
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import CkksContext, CkksEncoder, generate_primes
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    import toy_heaan_ckks_tpu.native as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    degree = 256
+    ctx = CkksContext.build(generate_primes(31, 4, degree), degree)
+    rounded = np.round(
+        np.random.default_rng(0).normal(0, 2**30, degree)
+    )
+    fast = CkksEncoder._rounded_to_poly(rounded, ctx)
+    exact = Poly.from_coeffs(
+        np.array([int(c) for c in rounded], dtype=object), ctx
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.data), np.asarray(exact.data)
+    )
+
+
+def test_native_decode_path_matches_exact():
+    """native crt_to_double == exact big-int CRT then float division."""
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import CkksContext, CkksEncoder, generate_primes
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    import toy_heaan_ckks_tpu.native as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    degree = 256
+    ctx = CkksContext.build(generate_primes(31, 4, degree), degree)
+    p = Poly.sample_uniform(ctx, make_rng(3))
+    delta = 2.0**30
+    fast = CkksEncoder._centered_over_scale(p, delta)
+    exact = np.asarray(
+        [float(x) for x in p.to_coeffs()], dtype=np.float64
+    ) / delta
+    np.testing.assert_allclose(fast, exact, rtol=1e-12)

@@ -66,14 +66,29 @@ class CkksEncoder:
             raise EncodingError("encode: context degree mismatch")
         slot_vec = build_conjugate_slots(scaled, self.degree)
         coeffs = embed_encode(slot_vec, self.degree)
-        int_coeffs = np.array(
-            [int(c) for c in np.round(coeffs.real)], dtype=object
-        )
+        rounded = np.round(coeffs.real)
+        poly = self._rounded_to_poly(rounded, ctx)
         return Plaintext(
-            poly=Poly.from_coeffs(int_coeffs, ctx),
-            scale_bits=self.scale_bits,
-            slots=slots,
+            poly=poly, scale_bits=self.scale_bits, slots=slots
         )
+
+    @staticmethod
+    def _rounded_to_poly(rounded: np.ndarray, ctx: CkksContext) -> Poly:
+        """Rounded float coefficients -> RNS Poly.
+
+        Fast path (native C++ residue reduction, vectorised int64 — the
+        reference's encode hot loop, ckks_encoder.rs:101-122): engaged
+        when every coefficient fits int64. Falls back to the exact
+        object-int path otherwise (the oracle; bit-identical residues)."""
+        from .. import native
+
+        if native.available() and np.all(np.abs(rounded) < 2**62):
+            res = native.reduce_coeffs(
+                rounded.astype(np.int64), list(ctx.moduli)
+            )
+            return Poly.from_residues_u64(res, ctx)
+        int_coeffs = np.array([int(c) for c in rounded], dtype=object)
+        return Poly.from_coeffs(int_coeffs, ctx)
 
     # ── sparse (gap) packing ─────────────────────────────────────────────
 
@@ -119,7 +134,30 @@ class CkksEncoder:
 
     def decode_complex(self, pt: Plaintext) -> np.ndarray:
         delta = pt.true_scale
-        int_coeffs = pt.poly.to_coeffs()  # exact centered big ints
-        c = np.asarray([float(x) for x in int_coeffs], dtype=np.float64)
-        slot_vec = embed_decode(c, self.degree)
-        return slot_vec[: pt.slots] / delta
+        scaled = self._centered_over_scale(pt.poly, delta)
+        slot_vec = embed_decode(scaled, self.degree)
+        return slot_vec[: pt.slots]
+
+    @staticmethod
+    def _centered_over_scale(poly: Poly, delta: float) -> np.ndarray:
+        """Centered coefficients / delta as float64.
+
+        Fast path: native multiword CRT straight to double (the
+        reference's decode hot loop, ckks_encoder.rs:129-156, without the
+        Python big-int round trip). Fallback: exact big-int CRT then
+        float conversion — the oracle (identical up to the final float64
+        rounding, which the fast path performs in the same order)."""
+        from .. import native
+        from ..ops import modular as mm
+
+        coeff = poly.to_coeff_domain()
+        if native.available():
+            plain = np.asarray(mm.from_mont(coeff.data, poly.ctx.chain))
+            res64 = plain[..., 0, :].astype(np.uint64) | (
+                plain[..., 1, :].astype(np.uint64) << np.uint64(32)
+            )
+            return native.crt_to_double(res64, list(poly.ctx.moduli), delta)
+        int_coeffs = coeff.to_coeffs()
+        return np.asarray(
+            [float(x) for x in int_coeffs], dtype=np.float64
+        ) / delta

@@ -267,6 +267,18 @@ class Poly:
         packed = jnp.asarray(mm.pack_residues(np.asarray(residues, dtype=object)))
         return Poly(mm.to_mont(packed, ctx.chain), ctx, ntt_domain)
 
+    @staticmethod
+    def from_residues_u64(
+        residues: np.ndarray, ctx: CkksContext, ntt_domain: bool = False
+    ) -> "Poly":
+        """Plain uint64 residue matrix (L, N) -> Poly (vectorised packing;
+        bit-identical to ``from_residues`` on the same values)."""
+        res = np.ascontiguousarray(residues, dtype=np.uint64)
+        lo = (res & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (res >> np.uint64(32)).astype(np.uint32)
+        packed = jnp.asarray(np.stack([lo, hi], axis=-2))
+        return Poly(mm.to_mont(packed, ctx.chain), ctx, ntt_domain)
+
     # ── samplers (host RNG; deterministic via seeded numpy Generator) ────
 
     @staticmethod
