@@ -275,9 +275,14 @@ def _gadget_key_switch(d_ntt, key_a, key_b, ctx: CkksContext,
     )
 
 
-def _gadget_accumulate(d_ntt, key_a, key_b, ctx: CkksContext,
-                       ext_ctx: CkksContext, plan: _SwitchPlan):
-    """Digit inner products over QP (NTT domain), before the P mod-down."""
+def _decompose_alpha(d_ntt, ctx: CkksContext, ext_ctx: CkksContext,
+                     plan: _SwitchPlan):
+    """NTT-domain digit decomposition raised over QP: (..., D, E, 2, N).
+
+    The expensive half of the gadget key switch (L inverse + D*E forward
+    channel-NTTs); the cheap half is the key inner product + mod-down.
+    Splitting the two enables rotation hoisting (compute alpha once, apply
+    many rotation keys — the decomposition commutes with automorphisms)."""
     L = d_ntt.shape[-3]
     D = plan.num_digits
     g = plan.digit_size
@@ -301,10 +306,83 @@ def _gadget_accumulate(d_ntt, key_a, key_b, ctx: CkksContext,
         )
         acc = term if acc is None else mm.add_mod(acc, term, ext_ctx.chain)
 
-    alpha_ntt = pops.to_ntt(acc, ext_ctx)
+    return pops.to_ntt(acc, ext_ctx)
+
+
+def _gadget_accumulate(d_ntt, key_a, key_b, ctx: CkksContext,
+                       ext_ctx: CkksContext, plan: _SwitchPlan):
+    """Digit inner products over QP (NTT domain), before the P mod-down."""
+    alpha_ntt = _decompose_alpha(d_ntt, ctx, ext_ctx, plan)
     ks0 = _mod_sum(mm.mont_mul(alpha_ntt, key_b, ext_ctx.chain), ext_ctx.chain)
     ks1 = _mod_sum(mm.mont_mul(alpha_ntt, key_a, ext_ctx.chain), ext_ctx.chain)
     return ks0, ks1
+
+
+def _mod_down_dispatch(x, ctx: CkksContext, ext_ctx: CkksContext,
+                       plan: _SwitchPlan):
+    """P mod-down routed through the fused Pallas kernels when eligible."""
+    L = len(ctx.moduli)
+    if pops._use_pallas_fused(ext_ctx):
+        from .ops import small_fast as sf
+
+        lo = sf.mod_down_lo(x[..., 0, :], ctx, ext_ctx, plan)
+        return jnp.stack([lo, jnp.zeros_like(lo)], axis=-2)
+    if pops._use_pallas_wide_fused(ext_ctx):
+        from .ops.keyswitch_pallas_wide import (
+            inv_ntt_to_yhat_wide,
+            mod_down_combine_pallas_wide,
+        )
+
+        specials = ext_ctx.moduli[L:]
+        yhat = inv_ntt_to_yhat_wide(
+            x[..., L:, :, :], specials, ctx.moduli, ctx.degree
+        )
+        return mod_down_combine_pallas_wide(
+            yhat, x[..., :L, :, :], None,
+            child_moduli=ctx.moduli, dropped_moduli=specials,
+            degree=ctx.degree,
+        )
+    return _mod_down_ntt(x, ctx, ext_ctx, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("digit_size",))
+def _hoisted_rotate_core(c0, c1, perms, keys_a, keys_b, ctx: CkksContext,
+                         ext_ctx: CkksContext, digit_size: int):
+    """Hoisted rotations: ONE gadget decomposition of c1, many keys.
+
+    perm_k(alpha(c1)) equals alpha(sigma_k(c1)) up to per-digit multiples
+    of Q_t (the approximate-basis-extension overflow shifts under the
+    automorphism's sign flips); those multiples vanish against the key's
+    P*T_t*s' plaintext and only perturb the e_t noise term at the usual
+    alpha*e level — standard HEAAN hoisting. This amortises the L inverse
+    + D*E forward channel-NTTs of the decomposition across all rotations;
+    each rotation then costs only the slot gather, 2*D*E pointwise
+    multiplies, and the P mod-down (vs the reference's full per-rotation
+    key switch, engine.rs:429-452).
+
+    perms: int32 (m, N) NTT-domain permutations; keys_*: (m, D, E, 2, N).
+    Returns (out0, out1): (m, ..., L, 2, N) stacked rotated ciphertexts.
+    """
+    _check_key_compat(ctx, keys_a[0], digit_size)
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
+    alpha_ntt = _decompose_alpha(c1, ctx, ext_ctx, plan)
+
+    outs0, outs1 = [], []
+    for i in range(perms.shape[0]):
+        perm = perms[i]
+        a_p = jnp.take(alpha_ntt, perm, axis=-1)
+        ks0 = _mod_sum(
+            mm.mont_mul(a_p, keys_b[i], ext_ctx.chain), ext_ctx.chain
+        )
+        ks1 = _mod_sum(
+            mm.mont_mul(a_p, keys_a[i], ext_ctx.chain), ext_ctx.chain
+        )
+        ks0 = _mod_down_dispatch(ks0, ctx, ext_ctx, plan)
+        ks1 = _mod_down_dispatch(ks1, ctx, ext_ctx, plan)
+        c0r = jnp.take(c0, perm, axis=-1)
+        outs0.append(mm.add_mod(c0r, ks0, ctx.chain))
+        outs1.append(ks1)
+    return jnp.stack(outs0), jnp.stack(outs1)
 
 
 @functools.partial(jax.jit, static_argnames=("digit_size",))
@@ -572,6 +650,53 @@ class CkksEngine:
             logq=ct.logq,
             scale=ct.scale,
         )
+
+    @staticmethod
+    def rotate_hoisted(
+        ct: Ciphertext, rotks
+    ) -> list[Ciphertext]:
+        """Rotate one ciphertext by MANY offsets with a single hoisted
+        gadget decomposition (see ``_hoisted_rotate_core``). All keys must
+        share the extended basis and digit_size. Returns outputs in the
+        order of ``rotks``."""
+        rotks = list(rotks)
+        if not rotks:
+            return []
+        ext_ctx = rotks[0].ext_ctx
+        ds = rotks[0].digit_size
+        for k in rotks[1:]:
+            if k.ext_ctx.moduli != ext_ctx.moduli or k.digit_size != ds:
+                from .errors import CkksError
+
+                raise CkksError(
+                    "rotate_hoisted: keys must share ext basis + digit_size"
+                )
+        ctx = ct.ctx
+        half = ctx.degree // 2
+        two_n = 2 * ctx.degree
+        perms = jnp.stack(
+            [
+                ctx.automorphism_table_ntt(pow(5, k.rotation % half, two_n))
+                for k in rotks
+            ]
+        )
+        keys_a = jnp.stack([k.a for k in rotks])
+        keys_b = jnp.stack([k.b for k in rotks])
+        out0, out1 = _hoisted_rotate_core(
+            ct.c0.to_ntt_domain().data,
+            ct.c1.to_ntt_domain().data,
+            perms, keys_a, keys_b, ctx, ext_ctx, digit_size=ds,
+        )
+        return [
+            Ciphertext(
+                c0=Poly(out0[i], ctx, True),
+                c1=Poly(out1[i], ctx, True),
+                logp=ct.logp,
+                logq=ct.logq,
+                scale=ct.scale,
+            )
+            for i in range(len(rotks))
+        ]
 
     # ── plaintext multiplication (extensions required by specs/ctx.md) ───
 

@@ -48,6 +48,27 @@ def sum_slots(ct: Ciphertext, ladder: KeyLadder, slots: int) -> Ciphertext:
     return acc
 
 
+def sum_slots_hoisted(ct: Ciphertext, rot_keys) -> Ciphertext:
+    """Slot-sum via hoisted rotations: sum_j rot_j(ct), j = 1..slots-1,
+    sharing ONE gadget decomposition of c1.
+
+    ``rot_keys``: rotation keys for every offset 1..slots-1 (same ext
+    basis + digit_size). Trades the binary tree's log2(slots) full
+    key-switches (each paying the L + D*E channel-NTT decomposition,
+    sequentially dependent) for slots-1 cheap hoisted applications of one
+    decomposition — fewer total channel-NTTs whenever
+    (slots-2) * moddown_NTTs < (log2(slots)-1) * (decompose+moddown)_NTTs,
+    and far better latency (one batched kernel chain, no sequential
+    dependency). Level-free; decode-equal to the tree within key-switch
+    noise (not residue-equal — see engine._hoisted_rotate_core).
+    """
+    rotated = CkksEngine.rotate_hoisted(ct, rot_keys)
+    acc = ct
+    for r in rotated:
+        acc = CkksEngine.add_ciphertexts(acc, r)
+    return acc
+
+
 def align_level(
     engine: CkksEngine, ct: Ciphertext, target_level: int
 ) -> Ciphertext:
