@@ -3,6 +3,14 @@
 The north-star metric from BASELINE.json, measured at N = 2^14 with an
 8-prime (31-bit) chain and hybrid gadget relinearization, on whatever
 accelerator JAX selects (the driver runs this on one real TPU chip).
+Also reports:
+  - a second configuration on the wide (2-limb) path — N = 2^13 with a
+    61-bit chain, the reference's heavy-prime class
+    (examples/horner_chain.rs, tests/integration_mul.rs) — with its
+    speedup over the staged-jnp path on the same chip;
+  - the fused NTT kernel's per-channel-transform cost and its fraction of
+    the HBM-bandwidth roofline (self-calibrated: the minimum time to read
+    + write one N-point u32 plane at the measured copy bandwidth).
 
 The reference (oiwn/toy-heaan-ckks) publishes no throughput numbers
 (BASELINE.md), so ``vs_baseline`` reports speedup vs this same exact
@@ -11,11 +19,13 @@ single-host native proxy measured on this machine (cached in
 .bench_cpu_baseline.json after the first run).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "mults/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "mults/s/chip", "vs_baseline": N,
+   "wide": {...}, "ntt": {...}}
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import statistics
@@ -33,11 +43,29 @@ BATCH = 32  # throughput knee: twiddle/key fetches amortise across the batch
 WARMUP = 2
 ITERS = 32  # marginal loop length: keeps chip time >> tunnel flush jitter
 
-_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".bench_cpu_baseline.json")
+WIDE_DEGREE = 1 << 13
+WIDE_PRIMES = 4
+WIDE_BITS = 61
+WIDE_BATCH = 8
+WIDE_ITERS = 16
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CPU_CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
+_WIDE_JNP_CACHE = os.path.join(_DIR, ".bench_wide_jnp.json")
 
 
-def _measure(batch: int, iters: int, warmup: int) -> float:
+def _jax_setup():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_DIR, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    return jax
+
+
+def _measure(degree: int, num_primes: int, bits: int, digit_size: int,
+             batch: int, iters: int, warmup: int) -> float:
     """Seconds per single mult(relin+rescale), amortised over the batch.
 
     The multiplies run *on device* inside one jitted ``lax.fori_loop``
@@ -49,14 +77,9 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
     The loop carry perturbs the next iteration's input, preventing XLA
     from hoisting the body.
     """
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax = _jax_setup()
     import jax.numpy as jnp
+    import numpy as np
 
     from toy_heaan_ckks_tpu import (
         CkksContext,
@@ -68,12 +91,12 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
     from toy_heaan_ckks_tpu.ops.poly import Poly
     from toy_heaan_ckks_tpu.parallel.sharded import _mul_relin_rescale_arrays
 
-    primes = generate_primes(PRIME_BITS, NUM_PRIMES, DEGREE)
-    ctx = CkksContext.build(primes, DEGREE)
-    engine = CkksEngine(ctx, CkksParams(3.2, DEGREE // 2, PRIME_BITS))
+    primes = generate_primes(bits, num_primes, degree)
+    ctx = CkksContext.build(primes, degree)
+    engine = CkksEngine(ctx, CkksParams(3.2, degree // 2, bits))
     rng = make_rng(7)
     sk = engine.generate_secret_key(rng)
-    rlk = engine.generate_gadget_relin_key(sk, rng, digit_size=DIGIT_SIZE)
+    rlk = engine.generate_gadget_relin_key(sk, rng, digit_size=digit_size)
     child = ctx.drop_last(1)
 
     def rand_ct(seed):
@@ -87,21 +110,18 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
 
     c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
 
-    import functools
-
-    import numpy as np
-
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def fn(a0, a1, b0, b1, n_iters):
         def body(i, carry):
             a = a0.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
             out = _mul_relin_rescale_arrays(
-                a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, child
+                a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, child,
+                digit_size=digit_size,
             )
             return out[0]
 
         init = jnp.zeros(
-            (batch, NUM_PRIMES - 1, 2, DEGREE), dtype=jnp.uint32
+            (batch, num_primes - 1, 2, degree), dtype=jnp.uint32
         )
         return jax.lax.fori_loop(0, n_iters, body, init)
 
@@ -123,6 +143,77 @@ def _measure(batch: int, iters: int, warmup: int) -> float:
     return max(t_long - t_short, 1e-9) / ((long_ - short) * batch)
 
 
+def _measure_ntt_roofline() -> dict:
+    """Per-channel-NTT marginal cost + fraction of the HBM roofline.
+
+    Roofline model: the fused kernel must read and write one (N,) u32
+    plane per channel-transform from/to HBM (twiddles amortise across the
+    batch); the floor is 2*N*4 bytes at the chip's effective copy
+    bandwidth, which is measured in-process (marginal cost of a big
+    device copy) rather than assumed from a spec sheet.
+    """
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import CkksContext, generate_primes
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.ops import poly as pops
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    from toy_heaan_ckks_tpu.utils.profiling import ntt_butterfly_count
+
+    degree, L, B = DEGREE, NUM_PRIMES, BATCH
+    ctx = CkksContext.build(generate_primes(PRIME_BITS, L, degree), degree)
+    d = jnp.stack(
+        [Poly.sample_uniform(ctx, make_rng(i)).data for i in range(B)]
+    )
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(x, k):
+        return jax.lax.fori_loop(0, k, lambda i, c: pops.to_ntt(c, ctx), x)
+
+    def t(k):
+        t0 = time.perf_counter()
+        o = loop(d, k)
+        np.asarray(o[0, 0, 0, :4])
+        return time.perf_counter() - t0
+
+    k1, k2 = 1, 33
+    t(k1); t(k2); t(k1); t(k2)
+    a = statistics.median(t(k1) for _ in range(3))
+    b = statistics.median(t(k2) for _ in range(3))
+    per_ntt = (b - a) / ((k2 - k1) * B * L)
+
+    # effective copy bandwidth: marginal cost of y = x + 1 on 256 MB
+    big = jnp.zeros((64, 1024, 1024), jnp.uint32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def cp(x, k):
+        return jax.lax.fori_loop(0, k, lambda i, c: c + jnp.uint32(1), x)
+
+    def tc(k):
+        t0 = time.perf_counter()
+        o = cp(big, k)
+        np.asarray(o[0, 0, :4])
+        return time.perf_counter() - t0
+
+    tc(1); tc(17); tc(1); tc(17)
+    ca = statistics.median(tc(1) for _ in range(3))
+    cb = statistics.median(tc(17) for _ in range(3))
+    per_pass = (cb - ca) / 16
+    bytes_per_pass = 2 * big.size * 4  # read + write
+    bw = bytes_per_pass / per_pass
+
+    floor = 2 * degree * 4 / bw  # read+write one u32 plane
+    butterflies = ntt_butterfly_count(degree, 1)
+    return {
+        "channel_ntt_us": round(per_ntt * 1e6, 3),
+        "gbutterflies_per_s": round(butterflies / per_ntt / 1e9, 1),
+        "copy_bw_gb_s": round(bw / 1e9, 0),
+        "roofline_pct": round(100 * floor / per_ntt, 1),
+    }
+
+
 def _cpu_baseline_sec_per_mult() -> float | None:
     if os.path.exists(_CPU_CACHE):
         try:
@@ -136,13 +227,35 @@ def _cpu_baseline_sec_per_mult() -> float | None:
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
+            env=env, capture_output=True, text=True, timeout=3600,
         )
         val = float(out.stdout.strip().splitlines()[-1])
         with open(_CPU_CACHE, "w") as f:
+            json.dump({"sec_per_mult": val}, f)
+        return val
+    except Exception:
+        return None
+
+
+def _wide_jnp_sec_per_mult() -> float | None:
+    """Staged-jnp arm of the wide config, same chip (subprocess: the
+    kernel dispatch is baked into jit traces at first call)."""
+    if os.path.exists(_WIDE_JNP_CACHE):
+        try:
+            with open(_WIDE_JNP_CACHE) as f:
+                return float(json.load(f)["sec_per_mult"])
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["CKKS_DISABLE_PALLAS"] = "1"
+    env["BENCH_WIDE_MODE"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        val = float(out.stdout.strip().splitlines()[-1])
+        with open(_WIDE_JNP_CACHE, "w") as f:
             json.dump({"sec_per_mult": val}, f)
         return val
     except Exception:
@@ -155,14 +268,26 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        print(_measure(batch=1, iters=2, warmup=1))
+        print(_measure(DEGREE, NUM_PRIMES, PRIME_BITS, DIGIT_SIZE,
+                       batch=1, iters=2, warmup=1))
+        return
+    if os.environ.get("BENCH_WIDE_MODE"):
+        # subprocess mode: wide config on the staged jnp path (same chip)
+        print(_measure(WIDE_DEGREE, WIDE_PRIMES, WIDE_BITS, 1,
+                       batch=WIDE_BATCH, iters=4, warmup=1))
         return
 
-    sec = _measure(batch=BATCH, iters=ITERS, warmup=WARMUP)
+    sec = _measure(DEGREE, NUM_PRIMES, PRIME_BITS, DIGIT_SIZE,
+                   batch=BATCH, iters=ITERS, warmup=WARMUP)
     mults_per_sec = 1.0 / sec
 
     cpu_sec = _cpu_baseline_sec_per_mult()
     vs_baseline = (cpu_sec / sec) if cpu_sec else 1.0
+
+    wide_sec = _measure(WIDE_DEGREE, WIDE_PRIMES, WIDE_BITS, 1,
+                        batch=WIDE_BATCH, iters=WIDE_ITERS, warmup=WARMUP)
+    wide_jnp = _wide_jnp_sec_per_mult()
+    ntt = _measure_ntt_roofline()
 
     print(
         json.dumps(
@@ -174,6 +299,17 @@ def main():
                 "value": round(mults_per_sec, 2),
                 "unit": "mults/s/chip",
                 "vs_baseline": round(vs_baseline, 2),
+                "wide": {
+                    "metric": (
+                        f"mults/s/chip @ N=2^13, L={WIDE_PRIMES}x"
+                        f"{WIDE_BITS}b (2-limb), batch={WIDE_BATCH}"
+                    ),
+                    "value": round(1.0 / wide_sec, 2),
+                    "vs_staged_jnp": (
+                        round(wide_jnp / wide_sec, 2) if wide_jnp else None
+                    ),
+                },
+                "ntt": ntt,
             }
         )
     )

@@ -60,3 +60,26 @@ def key_spec(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def ct_spec_for(mesh: Mesh, num_channels: int,
+                batched: bool = True) -> NamedSharding:
+    """Shape-aware ciphertext sharding: channel-sharded when the channel
+    count divides the mesh axis, otherwise replicated on that axis (JAX
+    NamedShardings require divisibility; replication is the honest
+    fallback for awkward L / axis ratios — e.g. the L-1 channels after a
+    rescale on an L-wide axis)."""
+    if num_channels % mesh.shape["channel"] == 0:
+        return ct_spec(mesh, batched)
+    if batched:
+        return NamedSharding(mesh, P("batch", None, None, None))
+    return NamedSharding(mesh, P(None, None, None))
+
+
+def key_spec_for(mesh: Mesh, num_digits: int) -> NamedSharding:
+    """Shape-aware gadget-key sharding: digit-axis sharded when the digit
+    count divides the channel axis (the psum-over-digits collective),
+    otherwise replicated (e.g. digit_size>1 keys whose D < axis)."""
+    if num_digits % mesh.shape["channel"] == 0:
+        return key_spec(mesh)
+    return NamedSharding(mesh, P(None, None, None, None))

@@ -113,9 +113,14 @@ def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext,
     """Jitted sharded batched multiply+relin+rescale over a (batch, channel)
     mesh. Returns fn(c0a, c1a, c0b, c1b, key_a, key_b) -> (c0, c1).
     ``digit_size`` must be the key's stored decomposition width."""
+    from .mesh import ct_spec_for, key_spec_for
+    from ..keys import digit_groups
+
     child_ctx = ctx.drop_last(1)
-    data_s = ct_spec(mesh)
-    key_s = key_spec(mesh)
+    L = ctx.num_channels
+    data_s = ct_spec_for(mesh, L)
+    key_s = key_spec_for(mesh, len(digit_groups(L, min(digit_size, L))))
+    out_s = ct_spec_for(mesh, L - 1)
 
     fn = functools.partial(
         _mul_relin_rescale_arrays,
@@ -124,11 +129,13 @@ def build_mul_relin_rescale(mesh, ctx: CkksContext, ext_ctx: CkksContext,
         child_ctx=child_ctx,
         digit_size=digit_size,
     )
-    # out_shardings left to XLA: the rescaled output has L-1 channels,
-    # which need not divide the channel axis; GSPMD picks the layout.
+    # shape-aware specs: channel/digit axes shard only when divisible
+    # (JAX requires divisibility; awkward ratios replicate the offending
+    # axis — tested in test_sharding_edge.py)
     return jax.jit(
         fn,
         in_shardings=(data_s, data_s, data_s, data_s, key_s, key_s),
+        out_shardings=(out_s, out_s),
     )
 
 
