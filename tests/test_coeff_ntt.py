@@ -73,3 +73,56 @@ def test_batched_lead_dims(degree=1024, count=2):
         [jnp.stack([row, jnp.zeros_like(row)], axis=-2) for row in d]
     ), ctx))[..., 0, :]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_local_tail_bit_exact(inverse, degree=1024, count=2):
+    """Local stages delegated to the fused Pallas tail kernel (interpret
+    mode) must match the all-jnp shard_map path and the single-chip NTT."""
+    mesh = _mesh()
+    ctx = CkksContext.build(generate_primes(30, count, degree), degree)
+    p = Poly.sample_uniform(ctx, make_rng(13))
+    lo = p.data[:, 0, :]
+    if inverse:
+        lo = np.asarray(pops.to_ntt(p.data, ctx))[:, 0, :]
+    sharded = jax.device_put(
+        jnp.asarray(lo), NamedSharding(mesh, P(None, "coeff"))
+    )
+    ref_fn = build_coeff_sharded_ntt(
+        mesh, ctx.moduli, degree, inverse=inverse, use_pallas=False
+    )
+    pal_fn = build_coeff_sharded_ntt(
+        mesh, ctx.moduli, degree, inverse=inverse,
+        use_pallas=True, interpret=True,
+    )
+    ref = np.asarray(ref_fn(sharded))
+    got = np.asarray(pal_fn(sharded))
+    np.testing.assert_array_equal(got, ref)
+    single = (
+        np.asarray(pops.to_coeff(p.data.at[:, 0, :].set(lo), ctx))
+        if inverse else np.asarray(pops.to_ntt(p.data, ctx))
+    )[:, 0, :]
+    np.testing.assert_array_equal(got, single)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_remote_dma_cross_stage_bit_exact(inverse, degree=1024, count=2):
+    """Cross-shard stages via the Pallas async-remote-copy exchange
+    (interpret mode) must match the ppermute path bit-for-bit."""
+    mesh = _mesh()
+    ctx = CkksContext.build(generate_primes(30, count, degree), degree)
+    p = Poly.sample_uniform(ctx, make_rng(23))
+    lo = p.data[:, 0, :]
+    sharded = jax.device_put(
+        jnp.asarray(lo), NamedSharding(mesh, P(None, "coeff"))
+    )
+    ref_fn = build_coeff_sharded_ntt(
+        mesh, ctx.moduli, degree, inverse=inverse, use_pallas=False
+    )
+    dma_fn = build_coeff_sharded_ntt(
+        mesh, ctx.moduli, degree, inverse=inverse,
+        use_pallas=False, remote_dma=True, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dma_fn(sharded)), np.asarray(ref_fn(sharded))
+    )

@@ -269,3 +269,40 @@ def test_full_slots_single_multiplication(large_setup):
     sk_l1 = sk.reduce_to(ct_rs.ctx)
     out = encoder.decode(CkksEngine.decrypt(ct_rs, sk_l1))[:slots]
     assert max_abs_err(a * b, out) < 1e-6
+
+
+def test_legacy_mul_exact_relinearization_identity():
+    """Value-level verification of the legacy single-pair relin path
+    (reference engine.rs:153-203): the multiplied ciphertext must satisfy
+
+        c0' + c1'*s == (c0 + c1*s)*(d0 + d1*s) + d2*(b + a*s - s^2)
+
+    exactly (residue equality) — i.e. the output decrypts to the product
+    of the decryptions plus d2 times the key's small relinearization
+    residual. This pins the whole path end-to-end (the residual itself
+    makes the decoded noise unbounded by design, so bounds cannot)."""
+    degree = 64
+    ctx = CkksContext.build(generate_primes(30, 4, degree), degree)
+    engine = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(77)
+    sk = engine.generate_secret_key(rng)
+    pk = engine.generate_public_key(sk, rng)
+    rk = engine.generate_relinearization_key(sk, rng)
+    enc = CkksEncoder(degree, 30)
+    a = np.linspace(0.1, 0.9, degree // 2)
+    b = np.linspace(-0.5, 0.5, degree // 2)
+    ct1 = engine.encrypt(enc.encode(a, ctx), pk, ctx.total_bits(), rng)
+    ct2 = engine.encrypt(enc.encode(b, ctx), pk, ctx.total_bits(), rng)
+
+    out = CkksEngine.mul_ciphertexts(ct1, ct2, rk)
+
+    s = sk.poly
+    dec = lambda ct: ct.c0.to_ntt_domain() + ct.c1.to_ntt_domain() * s
+    lhs = dec(out)
+    m1, m2 = dec(ct1), dec(ct2)
+    d2 = ct1.c1.to_ntt_domain() * ct2.c1.to_ntt_domain()
+    resid = rk.b + rk.a * s - s * s
+    rhs = m1 * m2 + d2 * resid
+    np.testing.assert_array_equal(
+        np.asarray(lhs.data), np.asarray(rhs.data)
+    )

@@ -116,3 +116,28 @@ def test_reduce_sk(setup):
     sk2 = sk.reduce_to(sub_ctx)
     assert sk2.poly.ctx.num_channels == 2
     assert (sk2.poly.residues() == sk.poly.residues()[:2]).all()
+
+
+def test_key_ladder_lazy_and_memory(setup):
+    """Lazy ladder generates a level only on first access and reports the
+    device bytes it holds."""
+    from toy_heaan_ckks_tpu.keys import KeyLadder
+
+    ctx, engine = setup
+    rng = make_rng(55)
+    sk = engine.generate_secret_key(rng)
+    ladder = KeyLadder(ctx, sk, 3.2, rng, rotations=(1,), lazy=True)
+    assert ladder.levels == {}
+    assert ladder.memory_bytes() == 0
+    top = ctx.num_channels
+    keys = ladder.at_level(top)
+    assert keys.ctx.num_channels == top
+    assert set(ladder.levels) == {top}
+    m1 = ladder.memory_bytes()
+    assert m1 > 0
+    ladder.at_level(top - 1)
+    assert ladder.memory_bytes() > m1
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ladder.at_level(top + 1)

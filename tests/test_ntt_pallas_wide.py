@@ -63,6 +63,8 @@ def test_wide_kernel_62bit_roundtrip():
 
 def test_supported_wide_gate():
     assert supported_wide(1 << 14, (1 << 61, ))
-    assert not supported_wide(1 << 15, (1 << 40,))  # VMEM cap
+    assert supported_wide(1 << 15, (1 << 40,))  # factored-twiddle kernel
+    assert supported_wide(1 << 16, (1 << 40,))
+    assert not supported_wide(1 << 17, (1 << 40,))
     assert not supported_wide(512, (1 << 40,))
     assert not supported_wide(1 << 12, (1 << 63,))  # beyond Montgomery budget

@@ -81,3 +81,49 @@ def test_sharded_mul_awkward_ratios_bit_exact(L, digit_size, batch_axis):
     assert out0.sharding.spec == ct_spec_for(mesh, L - 1).spec
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref0))
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref1))
+
+
+def test_multihost_mesh_scaffolding():
+    """(host, batch, channel) mesh: shapes, specs, and a sharded multiply
+    on the virtual devices (2 'hosts' x 4 chips emulated on the 8-device
+    CPU mesh — DCN semantics cannot be exercised single-host, but the
+    GSPMD program must compile and stay bit-exact)."""
+    from toy_heaan_ckks_tpu.parallel.mesh import (
+        ct_spec_mh,
+        key_spec_mh,
+        make_multihost_mesh,
+    )
+    from toy_heaan_ckks_tpu.parallel.sharded import (
+        _mul_relin_rescale_arrays,
+    )
+    import functools
+
+    mesh = make_multihost_mesh(hosts=2, chips_per_host=4, batch_per_host=1)
+    assert mesh.devices.shape == (2, 1, 4)
+    with pytest.raises(ValueError):
+        make_multihost_mesh(hosts=3, chips_per_host=4)
+    with pytest.raises(ValueError):
+        make_multihost_mesh(hosts=2, chips_per_host=4, batch_per_host=3)
+
+    L = 4
+    ctx, rlk, (c0a, c1a, c0b, c1b) = _setup(L, 1, batch=4)
+    child = ctx.drop_last(1)
+    ref0, ref1 = batched_mul_relin_rescale(
+        (c0a, c1a), (c0b, c1b), rlk, ctx, child
+    )
+    data_s = ct_spec_mh(mesh)
+    key_s = key_spec_mh(mesh)
+    fn = jax.jit(
+        functools.partial(
+            _mul_relin_rescale_arrays,
+            ctx=ctx, ext_ctx=rlk.ext_ctx, child_ctx=child, digit_size=1,
+        ),
+        in_shardings=(data_s,) * 4 + (key_s, key_s),
+    )
+    put = lambda x: jax.device_put(x, data_s)
+    kput = lambda x: jax.device_put(x, key_s)
+    out0, out1 = fn(
+        put(c0a), put(c1a), put(c0b), put(c1b), kput(rlk.a), kput(rlk.b)
+    )
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref0))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref1))

@@ -377,7 +377,7 @@ class LevelKeys:
 
 
 class KeyLadder:
-    """Per-level key ladder generated once up front.
+    """Per-level key ladder (eager or lazy).
 
     The reference's examples re-derive a truncated secret key and regenerate
     pk/rlk after every rescale (reference examples/horner_chain.rs:233-239,
@@ -385,6 +385,11 @@ class KeyLadder:
     idiomatic replacement (SURVEY.md §5 checkpoint/resume note): level l's
     secret key is the channel-truncated master secret, and fresh pk/rlk/rotk
     pairs are sampled per level.
+
+    Key material is ~ D*(L+g')*2*N*8 bytes per level; ``lazy=True`` defers
+    each level's generation to its first ``at_level`` call (a pipeline that
+    only ever visits a few levels pays only for those), and
+    ``memory_bytes()`` reports the device bytes currently held.
     """
 
     def __init__(
@@ -395,31 +400,63 @@ class KeyLadder:
         rng: np.random.Generator,
         rotations: tuple = (),
         min_level: int = 1,
+        lazy: bool = False,
     ):
         self.levels: dict[int, LevelKeys] = {}
-        std = float(error_variance) ** 0.5
+        self._std = float(error_variance) ** 0.5
+        self._sk = sk
+        self._rng = rng
+        self._rotations = tuple(rotations)
+        self._min_level = max(1, min_level)
+        self._ctxs: dict[int, CkksContext] = {}
         ctx = master_ctx
-        while ctx.num_channels >= max(1, min_level):
-            sk_l = sk.reduce_to(ctx)
-            pk_l = PublicKey.generate(sk_l, 3.2, ctx, rng)
-            rlk_l = (
-                RnsGadgetRelinKey.generate(sk_l, std, ctx, rng)
-                if ctx.num_channels >= 1
-                else None
-            )
-            rot_l = {
-                r: RnsGadgetRotationKey.generate(sk_l, r, std, ctx, rng)
-                for r in rotations
-            }
-            self.levels[ctx.num_channels] = LevelKeys(
-                ctx=ctx, sk=sk_l, pk=pk_l, rlk=rlk_l, rot=rot_l
-            )
+        while ctx.num_channels >= self._min_level:
+            self._ctxs[ctx.num_channels] = ctx
             if ctx.num_channels == 1:
                 break
             ctx = ctx.drop_last(1)
+        if not lazy:
+            for lvl in sorted(self._ctxs, reverse=True):
+                self._generate(lvl)
+
+    def _generate(self, num_channels: int) -> LevelKeys:
+        ctx = self._ctxs[num_channels]
+        sk_l = self._sk.reduce_to(ctx)
+        pk_l = PublicKey.generate(sk_l, 3.2, ctx, self._rng)
+        rlk_l = RnsGadgetRelinKey.generate(sk_l, self._std, ctx, self._rng)
+        rot_l = {
+            r: RnsGadgetRotationKey.generate(
+                sk_l, r, self._std, ctx, self._rng
+            )
+            for r in self._rotations
+        }
+        keys = LevelKeys(ctx=ctx, sk=sk_l, pk=pk_l, rlk=rlk_l, rot=rot_l)
+        self.levels[num_channels] = keys
+        return keys
 
     def at_level(self, num_channels: int) -> LevelKeys:
-        return self.levels[num_channels]
+        keys = self.levels.get(num_channels)
+        if keys is None:
+            if num_channels not in self._ctxs:
+                raise KeyError(
+                    f"KeyLadder has no level {num_channels} "
+                    f"(min_level={self._min_level})"
+                )
+            keys = self._generate(num_channels)
+        return keys
 
     def for_ctx(self, ctx: CkksContext) -> LevelKeys:
-        return self.levels[ctx.num_channels]
+        return self.at_level(ctx.num_channels)
+
+    def memory_bytes(self) -> int:
+        """Device bytes held by generated key material (keys only; the
+        shared contexts/twiddles are not counted)."""
+        total = 0
+        for keys in self.levels.values():
+            arrs = [keys.pk.a.data, keys.pk.b.data, keys.sk.poly.data]
+            if keys.rlk is not None:
+                arrs += [keys.rlk.a, keys.rlk.b]
+            for rk in keys.rot.values():
+                arrs += [rk.a, rk.b]
+            total += sum(int(np.prod(a.shape)) * 4 for a in arrs)
+        return total

@@ -30,17 +30,97 @@ Pallas kernel).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ntt_pallas import (
     _add_mod,
+    _butterfly_args,
     _harvey_mul,
+    _layout,
     _planes_cached,
+    _shift,
     _sub_mod,
 )
+
+
+def _tail_kernel(q_ref, x_ref, w_ref, wp_ref, o_ref,
+                 *, n: int, r: int, c: int, s0: int, s_count: int,
+                 inverse: bool):
+    """Fused local stages (s in [s0, s_count)) on a VMEM-resident slab.
+
+    The slab holds S = n / 2^{s0_cross} contiguous coefficients; every
+    stage in the range has distance d < S with aligned groups, so the
+    butterflies never leave the slab and the stage body is identical to
+    the single-chip fused kernel's, just with this shard's twiddle
+    slices. Canonical [0, q) in and out (the jnp cross-shard stages on
+    either side expect canonical residues).
+    """
+    ch = pl.program_id(0)
+    q = q_ref[ch, 0]
+    x = x_ref[0, 0]
+    stage_order = (
+        range(s_count - 1, s0 - 1, -1) if inverse else range(s0, s_count)
+    )
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        w = w_ref[0, s - s0].reshape(r, c)
+        wp = wp_ref[0, s - s0].reshape(r, c)
+        v_at_u = _shift(x, amount, axis)
+        u_at_v = _shift(x, -amount, axis)
+        if inverse:
+            total = _add_mod(x, v_at_u, q)
+            diff = _sub_mod(u_at_v, x, q)
+            x = jnp.where(mask, total, _harvey_mul(diff, w, wp, q))
+        else:
+            operand = jnp.where(mask, v_at_u, x)
+            wv = _harvey_mul(operand, w, wp, q)
+            x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+    o_ref[0, 0] = x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "s0", "s_count", "inverse", "interpret"),
+)
+def _local_tail_pallas(x, w_slab, wp_slab, q_col, *, n: int, s0: int,
+                       s_count: int, inverse: bool, interpret: bool):
+    """x: (B, L, S) local slab; w/wp_slab: (L, tail, S) local twiddles."""
+    B, L, S = x.shape
+    r, c = _layout(S)
+    tail = s_count - s0
+    x4 = x.reshape(B, L, r, c)
+
+    kernel = functools.partial(
+        _tail_kernel, n=n, r=r, c=c, s0=s0, s_count=s_count, inverse=inverse
+    )
+    smem = lambda: pl.BlockSpec(
+        (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
+    )
+    data_spec = lambda: pl.BlockSpec(
+        (1, 1, r, c), lambda ch, o: (o, ch, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = lambda: pl.BlockSpec(
+        (1, tail, r, c), lambda ch, o: (ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, B),
+        in_specs=[smem(), data_spec(), plane_spec(), plane_spec()],
+        out_specs=data_spec(),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, jnp.uint32),
+        interpret=interpret,
+    )(q_col, x4, w_slab.reshape(L, tail, r, c),
+      wp_slab.reshape(L, tail, r, c))
+    return out.reshape(B, L, S)
 
 
 def _stage_body(x, w, wp, q, d: int, g_base, inverse: bool):
@@ -72,13 +152,93 @@ def _stage_body(x, w, wp, q, d: int, g_base, inverse: bool):
     return jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
 
 
+def _cross_stage_remote_kernel(x_ref, w_ref, wp_ref, q_ref, o_ref,
+                               partner_buf, send_sem, recv_sem,
+                               *, shift: int, axis: str, inverse: bool):
+    """ONE cross-shard butterfly stage via Pallas async remote DMA.
+
+    The butterfly pairs shard my_id with my_id ^ shift (aligned
+    power-of-two groups), so each device sends its whole slab to its
+    partner and receives the partner's — a bidirectional exchange whose
+    transfer overlaps the local twiddle multiply setup (pattern:
+    SNIPPETS.md item [1] / pallas distributed docs). The d >= S stage has
+    no intra-slab mask: the entire slab is the u or v side of its group.
+    """
+    my_id = jax.lax.axis_index(axis)
+    partner = my_id ^ shift
+    copy = pltpu.make_async_remote_copy(
+        src_ref=x_ref,
+        dst_ref=partner_buf,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id=partner,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    copy.start()
+    copy.wait()
+    x = x_ref[...]
+    v = partner_buf[...]
+    w = w_ref[...]
+    wp = wp_ref[...]
+    q = q_ref[...]
+    is_u = (my_id & shift) == 0
+    if inverse:
+        # GS: out_u = x_u + x_v ; out_v = (x_u - x_v) * w
+        u_out = _add_mod(x, v, q)
+        v_out = _harvey_mul(_sub_mod(v, x, q), w, wp, q)
+    else:
+        # CT: out_u = x_u + w*x_v ; out_v = x_u - w*x_v
+        u_out = _add_mod(x, _harvey_mul(v, w, wp, q), q)
+        v_out = _sub_mod(v, _harvey_mul(x, w, wp, q), q)
+    o_ref[...] = jnp.where(is_u, u_out, v_out)
+
+
+def _cross_stage_remote(x, w, wp, q3, *, shift: int, axis: str,
+                        inverse: bool, interpret: bool):
+    """x: (B, L, S) local slab; w/wp: (L, S) stage twiddle slices."""
+    B, L, S = x.shape
+    kernel = functools.partial(
+        _cross_stage_remote_kernel, shift=shift, axis=axis, inverse=inverse
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, S), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((B, L, S), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(collective_id=13),
+    )(x, w, wp, q3)
+
+
 def build_coeff_sharded_ntt(mesh: Mesh, moduli: tuple, degree: int,
-                            inverse: bool, axis: str = "coeff"):
+                            inverse: bool, axis: str = "coeff",
+                            use_pallas: bool | None = None,
+                            interpret: bool = False,
+                            remote_dma: bool = False):
     """Jitted NTT over lo planes (..., L, N) with N sharded on ``axis``.
 
     Returns fn(x) -> same shape/sharding; bit-exact with the single-chip
-    tree NTT (ops/ntt_pallas semantics).
+    tree NTT (ops/ntt_pallas semantics). The cross-shard stages
+    (d >= slab size, one ppermute pair each) run as jnp under shard_map;
+    the local stages (d < slab) run as ONE fused Pallas kernel per shard
+    when ``use_pallas`` (defaults to True on TPU backends) — without it a
+    multi-chip run would forfeit the single-chip fused-kernel win, paying
+    log2(S) HBM round trips per channel plane. ``remote_dma`` swaps each
+    cross-shard ppermute pair for the Pallas async-remote-copy exchange
+    kernel (one bidirectional slab DMA per stage).
     """
+    from ..ops.poly import _on_tpu
+
     moduli = tuple(int(m) for m in moduli)
     n = degree
     fwd_w, fwd_wp, inv_w, inv_wp, q_arr, ninv, ninvp = _planes_cached(
@@ -90,6 +250,10 @@ def build_coeff_sharded_ntt(mesh: Mesh, moduli: tuple, degree: int,
     n_sh = mesh.shape[axis]
     if n % n_sh or (n // n_sh) & ((n // n_sh) - 1):
         raise ValueError("coefficient shards must be a power-of-two size")
+    s_local = n // n_sh
+    cross = max(0, n_sh.bit_length() - 1)  # stages with d >= s_local
+    if use_pallas is None:
+        use_pallas = _on_tpu() and s_local >= 128
 
     q_col = np.asarray(q_arr)  # (L, 1), replicated closure constant
 
@@ -98,12 +262,37 @@ def build_coeff_sharded_ntt(mesh: Mesh, moduli: tuple, degree: int,
         p = jax.lax.axis_index(axis)
         s_len = x.shape[-1]
         g_base = (p * s_len).astype(jnp.int32)
-        stage_order = (
-            range(s_count - 1, -1, -1) if inverse else range(s_count)
-        )
-        for s in stage_order:
-            d = n >> (s + 1)
-            x = _stage_body(x, w[:, s], wp[:, s], q_col, d, g_base, inverse)
+
+        def jnp_stages(x, lo, hi):
+            for s in (range(hi - 1, lo - 1, -1) if inverse
+                      else range(lo, hi)):
+                d = n >> (s + 1)
+                if remote_dma and d >= s_len:
+                    x = _cross_stage_remote(
+                        x, w[:, s], wp[:, s], q_col,
+                        shift=d // s_len, axis=axis, inverse=inverse,
+                        interpret=interpret,
+                    )
+                else:
+                    x = _stage_body(
+                        x, w[:, s], wp[:, s], q_col, d, g_base, inverse
+                    )
+            return x
+
+        if use_pallas and cross < s_count:
+            tail = lambda x: _local_tail_pallas(
+                x, w[:, cross:], wp[:, cross:], q_col,
+                n=n, s0=cross, s_count=s_count, inverse=inverse,
+                interpret=interpret,
+            )
+            if inverse:
+                x = tail(x)
+                x = jnp_stages(x, 0, cross)
+            else:
+                x = jnp_stages(x, 0, cross)
+                x = tail(x)
+        else:
+            x = jnp_stages(x, 0, s_count)
         if inverse:
             x = _harvey_mul(x, ninv, ninvp, q_col)
         return x
@@ -119,6 +308,8 @@ def build_coeff_sharded_ntt(mesh: Mesh, moduli: tuple, degree: int,
             P(None, None, axis),
         ),
         out_specs=P(None, None, axis),
+        # pallas_call outputs carry no varying-mesh-axis annotation
+        check_vma=False,
     )
 
     w_dev = jax.device_put(

@@ -40,6 +40,73 @@ def make_ckks_mesh(
     return Mesh(arr, axis_names=("batch", "channel"))
 
 
+def make_multihost_mesh(
+    hosts: int | None = None,
+    chips_per_host: int | None = None,
+    batch_per_host: int = 1,
+    devices=None,
+) -> Mesh:
+    """(host, batch, channel) mesh for multi-host (DCN + ICI) topologies.
+
+    Axis placement doctrine (SURVEY.md §2.4 "Communication backend",
+    specs: DCN for multi-host):
+
+    - ``host`` (outermost, rides DCN): ONLY the batch/data-parallel axis.
+      Independent ciphertexts never communicate, so the slow inter-host
+      fabric carries zero traffic during homomorphic ops; hosts exchange
+      data only at input distribution / output collection.
+    - ``batch``/``channel`` (within a host, ride ICI): as in
+      ``make_ckks_mesh`` — channel-sharded NTT/pointwise with the gadget
+      digit psum and the rescale broadcast of the dropped channel as the
+      only intra-host collectives.
+
+    Rescale-broadcast plan over DCN (documented; single-host hardware here
+    cannot execute it): if the channel axis were ever split across hosts,
+    the dropped channel's inverse-NTT'd plane (N * 4 bytes) must reach
+    every other channel shard. The layout above avoids that by
+    construction; a future channel-over-DCN variant should instead
+    (a) replicate q_last's shard on every host (its plane is read-only
+    after the multiply), or (b) pipeline the broadcast behind the next
+    multiply's tensor product, which needs no cross-channel data.
+    Until multi-host hardware is reachable, this function only validates
+    shapes and returns the mesh; jit/GSPMD handle the rest unchanged.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if hosts is None:
+        hosts = max(1, jax.process_count())
+    if chips_per_host is None:
+        chips_per_host = len(devices) // hosts
+    total = hosts * chips_per_host
+    if total > len(devices):
+        raise ValueError(
+            f"need {total} devices for {hosts} hosts x {chips_per_host}, "
+            f"have {len(devices)}"
+        )
+    if batch_per_host < 1 or chips_per_host % batch_per_host:
+        raise ValueError("batch_per_host must divide chips_per_host")
+    arr = np.array(devices[:total]).reshape(
+        hosts, batch_per_host, chips_per_host // batch_per_host
+    )
+    return Mesh(arr, axis_names=("host", "batch", "channel"))
+
+
+def ct_spec_mh(mesh: Mesh, batched: bool = True) -> NamedSharding:
+    """Ciphertext spec on a (host, batch, channel) mesh: the batch axis is
+    sharded over host x batch (data parallel on both fabrics), channels
+    over the intra-host channel axis."""
+    if batched:
+        return NamedSharding(mesh, P(("host", "batch"), "channel", None, None))
+    return NamedSharding(mesh, P("channel", None, None))
+
+
+def key_spec_mh(mesh: Mesh) -> NamedSharding:
+    """Gadget keys on a (host, batch, channel) mesh: digit axis over the
+    intra-host channel axis, replicated across hosts (keys are read-only;
+    replication keeps the digit psum on ICI)."""
+    return NamedSharding(mesh, P("channel", None, None, None))
+
+
 def ct_spec(mesh: Mesh, batched: bool = True) -> NamedSharding:
     """Sharding for ciphertext residue planes (B, L, 2, N) / (L, 2, N)."""
     if batched:
