@@ -191,3 +191,32 @@ def test_encrypted_std_dev(deep_setup):
     true_std = float(np.std(readings))
     # dominated by the degree-3 sqrt fit error (~1e-2)
     assert np.max(np.abs(out - true_std)) < 0.03, (out[:4], true_std)
+
+
+def test_conjugate_ciphertext():
+    """conj(ct) decodes to the complex conjugate of the slots; Re(x) =
+    (x + conj(x))/2 recovers the real parts of a complex encoding."""
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext, CkksEncoder, CkksEngine, CkksParams, generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+
+    degree = 64
+    ctx = CkksContext.build(generate_primes(30, 3, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(19)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    cjk = eng.generate_conjugation_key(sk, rng)
+    enc = CkksEncoder(degree, 30)
+    z = np.linspace(0.1, 0.9, degree // 2) + 1j * np.linspace(-0.4, 0.4, degree // 2)
+    ct = eng.encrypt(enc.encode_complex(z, ctx), pk, ctx.total_bits(), rng)
+    cc = CkksEngine.conjugate_ciphertext(ct, cjk)
+    out = enc.decode_complex(CkksEngine.decrypt(cc, sk))
+    np.testing.assert_allclose(out, np.conj(z), atol=1e-4)
+    re_ct = CkksEngine.add_ciphertexts(ct, cc)
+    re = enc.decode_complex(CkksEngine.decrypt(re_ct, sk)) / 2
+    np.testing.assert_allclose(re.real, z.real, atol=1e-4)
+    np.testing.assert_allclose(re.imag, 0, atol=1e-4)

@@ -14,6 +14,7 @@ from .keys import (
     PublicKey,
     RelinearizationKey,
     RnsGadgetRelinKey,
+    RnsGadgetConjugationKey,
     RnsGadgetRotationKey,
     RotationKey,
     SecretKey,
@@ -47,6 +48,7 @@ __all__ = [
     "PublicKey",
     "RelinearizationKey",
     "RnsGadgetRelinKey",
+    "RnsGadgetConjugationKey",
     "RnsGadgetRotationKey",
     "RotationKey",
     "SecretKey",

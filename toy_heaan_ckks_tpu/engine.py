@@ -651,6 +651,40 @@ class CkksEngine:
             scale=ct.scale,
         )
 
+    def generate_conjugation_key(
+        self, sk: SecretKey, rng: np.random.Generator, digit_size: int = 1
+    ):
+        from .keys import RnsGadgetConjugationKey
+
+        return RnsGadgetConjugationKey.generate(
+            sk,
+            float(np.sqrt(self.params.error_variance)),
+            self.context,
+            rng,
+            digit_size=digit_size,
+        )
+
+    @staticmethod
+    def conjugate_ciphertext(ct: Ciphertext, cjk) -> Ciphertext:
+        """Complex-conjugate every slot: automorphism X -> X^{2N-1} +
+        gadget key switch. Level-free. Enables homomorphic real/imag
+        extraction: Re(x) = (x + conj(x))/2."""
+        ctx = ct.ctx
+        c0_c = ct.c0.conjugate()
+        c1_c = ct.c1.conjugate()
+        ks0, ks1 = _gadget_key_switch(
+            c1_c.to_ntt_domain().data, cjk.a, cjk.b, ctx, cjk.ext_ctx,
+            digit_size=cjk.digit_size,
+        )
+        c0_new = c0_c.to_ntt_domain() + Poly(ks0, ctx, True)
+        return Ciphertext(
+            c0=c0_new,
+            c1=Poly(ks1, ctx, True),
+            logp=ct.logp,
+            logq=ct.logq,
+            scale=ct.scale,
+        )
+
     @staticmethod
     def rotate_hoisted(
         ct: Ciphertext, rotks

@@ -366,6 +366,47 @@ class RnsGadgetRotationKey:
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class RnsGadgetConjugationKey:
+    """Gadget key for slot conjugation: digit t encodes P * T_t * s(X^{2N-1}).
+
+    Completes the automorphism group surface (the reference exposes only
+    the root-5 rotations, poly.rs:543-569; conjugation X -> X^{2N-1} is
+    the remaining coset — needed e.g. to extract real parts
+    homomorphically: Re(x) = (x + conj(x)) / 2).
+    """
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    ctx: CkksContext
+    ext_ctx: CkksContext
+    special: int
+    digit_size: int = 1
+
+    @staticmethod
+    def generate(
+        sk: SecretKey,
+        std_dev: float,
+        ctx: CkksContext,
+        rng: np.random.Generator,
+        special: int | None = None,
+        specials: tuple[int, ...] | None = None,
+        digit_size: int = 1,
+    ) -> "RnsGadgetConjugationKey":
+        sp = _resolve_specials(ctx, special, specials, digit_size)
+        s_conj = sk.poly.conjugate()
+        a, b, ext_ctx = _gadget_pairs(
+            sk, s_conj, std_dev, ctx, rng, sp, digit_size
+        )
+        p_total = 1
+        for p in sp:
+            p_total *= p
+        return RnsGadgetConjugationKey(
+            a=a, b=b, ctx=ctx, ext_ctx=ext_ctx, special=p_total,
+            digit_size=digit_size,
+        )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class LevelKeys:
     """Key material specialised to one RNS level."""
 
