@@ -124,3 +124,30 @@ def test_stopwatch():
     with sw.lap():
         sum(range(1000))
     assert sw.best >= 0.0
+
+
+def test_conjugation_key_roundtrip(tmp_path):
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext, CkksEngine, CkksParams, generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.utils.serialization import (
+        load_conjugation_key,
+        save_conjugation_key,
+    )
+
+    degree = 16
+    ctx = CkksContext.build(generate_primes(30, 2, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, 8, 30))
+    rng = make_rng(3)
+    sk = eng.generate_secret_key(rng)
+    cjk = eng.generate_conjugation_key(sk, rng)
+    p = str(tmp_path / "cjk.npz")
+    save_conjugation_key(p, cjk)
+    back = load_conjugation_key(p)
+    np.testing.assert_array_equal(np.asarray(back.a), np.asarray(cjk.a))
+    np.testing.assert_array_equal(np.asarray(back.b), np.asarray(cjk.b))
+    assert back.ext_ctx.moduli == cjk.ext_ctx.moduli
+    assert back.digit_size == cjk.digit_size

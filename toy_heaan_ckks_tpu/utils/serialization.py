@@ -184,3 +184,26 @@ def load_rotation_key(path: str) -> RnsGadgetRotationKey:
         special=int(meta["special"]),
         digit_size=int(meta["digit_size"]),
     )
+
+
+def save_conjugation_key(path: str, key) -> None:
+    _save_gadget(path, key)
+
+
+def load_conjugation_key(path: str):
+    from ..keys import RnsGadgetConjugationKey
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    ctx = _ctx_from(meta)
+    ext_ctx = CkksContext.build(
+        tuple(int(m) for m in meta["ext_moduli"]), ctx.degree
+    )
+    return RnsGadgetConjugationKey(
+        a=jnp.asarray(z["a"]),
+        b=jnp.asarray(z["b"]),
+        ctx=ctx,
+        ext_ctx=ext_ctx,
+        special=int(meta["special"]),
+        digit_size=int(meta["digit_size"]),
+    )
