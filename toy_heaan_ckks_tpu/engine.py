@@ -367,22 +367,16 @@ def _hoisted_rotate_core(c0, c1, perms, keys_a, keys_b, ctx: CkksContext,
     plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
     alpha_ntt = _decompose_alpha(c1, ctx, ext_ctx, plan)
 
-    outs0, outs1 = [], []
-    for i in range(perms.shape[0]):
-        perm = perms[i]
-        a_p = jnp.take(alpha_ntt, perm, axis=-1)
-        ks0 = _mod_sum(
-            mm.mont_mul(a_p, keys_b[i], ext_ctx.chain), ext_ctx.chain
-        )
-        ks1 = _mod_sum(
-            mm.mont_mul(a_p, keys_a[i], ext_ctx.chain), ext_ctx.chain
-        )
-        ks0 = _mod_down_dispatch(ks0, ctx, ext_ctx, plan)
-        ks1 = _mod_down_dispatch(ks1, ctx, ext_ctx, plan)
-        c0r = jnp.take(c0, perm, axis=-1)
-        outs0.append(mm.add_mod(c0r, ks0, ctx.chain))
-        outs1.append(ks1)
-    return jnp.stack(outs0), jnp.stack(outs1)
+    # all rotations processed as one stacked leading axis m: the gathers,
+    # key products and mod-downs batch through the (lead-dim polymorphic)
+    # kernels, amortising twiddle fetches across the whole rotation set
+    a_p = jnp.moveaxis(jnp.take(alpha_ntt, perms, axis=-1), -2, 0)
+    ks0 = _mod_sum(mm.mont_mul(a_p, keys_b, ext_ctx.chain), ext_ctx.chain)
+    ks1 = _mod_sum(mm.mont_mul(a_p, keys_a, ext_ctx.chain), ext_ctx.chain)
+    ks0 = _mod_down_dispatch(ks0, ctx, ext_ctx, plan)
+    ks1 = _mod_down_dispatch(ks1, ctx, ext_ctx, plan)
+    c0r = jnp.moveaxis(jnp.take(c0, perms, axis=-1), -2, 0)
+    return mm.add_mod(c0r, ks0, ctx.chain), ks1
 
 
 @functools.partial(jax.jit, static_argnames=("digit_size",))

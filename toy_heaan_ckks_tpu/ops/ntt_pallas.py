@@ -37,6 +37,7 @@ staged jnp path.
 
 from __future__ import annotations
 
+import os
 import functools
 
 import numpy as np
@@ -176,8 +177,17 @@ def _sub_mod(a, b, q):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
-def _shift(x, amount: int, axis: int, use_roll: bool = True):
+# Experiment knob: CKKS_SHIFT_CONCAT in {"", "rows", "lanes", "both"}
+# replaces pltpu.roll with a concatenate-of-slices formulation on the
+# named axes (read once at import; kernels compile per-process).
+_SHIFT_CONCAT = os.environ.get("CKKS_SHIFT_CONCAT", "")
+
+
+def _shift(x, amount: int, axis: int, use_roll: bool | None = None):
     """Static circular shift: element i of the output = x[i + amount]."""
+    if use_roll is None:
+        name = "rows" if axis == 0 else "lanes"
+        use_roll = _SHIFT_CONCAT not in (name, "both")
     if use_roll:
         size = x.shape[axis]
         return pltpu.roll(x, (-amount) % size, axis)
