@@ -151,3 +151,58 @@ def test_conjugation_key_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.b), np.asarray(cjk.b))
     assert back.ext_ctx.moduli == cjk.ext_ctx.moduli
     assert back.digit_size == cjk.digit_size
+
+
+def test_ciphertext_batching_roundtrip_and_batched_mul():
+    """stack -> batched fused multiply -> unstack decodes like the
+    per-ciphertext engine path."""
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext, CkksEncoder, CkksEngine, CkksParams, generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.parallel.sharded import batched_mul_relin_rescale
+    from toy_heaan_ckks_tpu.utils.batching import (
+        stack_ciphertexts,
+        unstack_ciphertexts,
+    )
+
+    degree = 64
+    ctx = CkksContext.build(generate_primes(30, 4, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(31)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(rng=rng, sk=sk)
+    rlk = eng.generate_gadget_relin_key(sk, rng)
+    enc = CkksEncoder(degree, 30)
+    vals = [np.linspace(0.1, 0.9, degree // 2) * (i + 1) / 3 for i in range(3)]
+    cts = [
+        eng.encrypt(enc.encode(v, ctx), pk, ctx.total_bits(), rng)
+        for v in vals
+    ]
+    c0, c1 = stack_ciphertexts(cts)
+    o0, o1 = batched_mul_relin_rescale(
+        (c0, c1), (c0, c1), rlk, ctx, ctx.drop_last(1)
+    )
+    q_last = ctx.moduli[-1]
+    outs = unstack_ciphertexts(
+        o0, o1, ctx.drop_last(1),
+        logp=2 * 30 - q_last.bit_length(),
+        logq=cts[0].logq - q_last.bit_length(),
+        scale=cts[0].true_scale ** 2 / q_last,
+    )
+    sk_red = sk.reduce_to(ctx.drop_last(1))
+    for v, ct in zip(vals, outs):
+        got = enc.decode(CkksEngine.decrypt(ct, sk_red))
+        np.testing.assert_allclose(got, v * v, atol=1e-4)
+
+    # mixed bookkeeping is rejected
+    import dataclasses
+    import pytest
+
+    from toy_heaan_ckks_tpu.errors import CkksError
+
+    bad = dataclasses.replace(cts[1], logp=cts[1].logp + 1)
+    with pytest.raises(CkksError):
+        stack_ciphertexts([cts[0], bad])
