@@ -48,11 +48,16 @@ CONFIGS = [
 QUICK = {"small-2^12-30b-ds2", "wide-2^13-61b-ds1"}
 
 _RUNNER = r"""
-import sys, numpy as np
+import os, sys, numpy as np
 degree, bits, count, digit_size, out_path = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
     sys.argv[5],
 )
+import jax
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(os.getcwd(), ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import jax.numpy as jnp
 from toy_heaan_ckks_tpu import (CkksContext, CkksEngine, CkksParams,
                                 generate_primes)
