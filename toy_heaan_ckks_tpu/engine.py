@@ -346,37 +346,76 @@ def _mod_down_dispatch(x, ctx: CkksContext, ext_ctx: CkksContext,
 
 
 @functools.partial(jax.jit, static_argnames=("digit_size",))
-def _hoisted_rotate_core(c0, c1, perms, keys_a, keys_b, ctx: CkksContext,
-                         ext_ctx: CkksContext, digit_size: int):
+def _hoisted_rotate_core(c0, c1, perms, keys_a_inv, keys_b_inv,
+                         ctx: CkksContext, ext_ctx: CkksContext,
+                         digit_size: int):
     """Hoisted rotations: ONE gadget decomposition of c1, many keys.
 
-    perm_k(alpha(c1)) equals alpha(sigma_k(c1)) up to per-digit multiples
-    of Q_t (the approximate-basis-extension overflow shifts under the
-    automorphism's sign flips); those multiples vanish against the key's
-    P*T_t*s' plaintext and only perturb the e_t noise term at the usual
-    alpha*e level — standard HEAAN hoisting. This amortises the L inverse
-    + D*E forward channel-NTTs of the decomposition across all rotations;
-    each rotation then costs only the slot gather, 2*D*E pointwise
-    multiplies, and the P mod-down (vs the reference's full per-rotation
-    key switch, engine.rs:429-452).
+    Standard HEAAN hoisting, with the permutations moved OFF the hot
+    path: since perm(a) * k == perm(a * perm^{-1}(k)) pointwise and the P
+    mod-down commutes with NTT-domain automorphisms (up to the documented
+    <= g' approximate-extension error), the digit inner product runs
+    against PRE-PERMUTED keys (perm_i^{-1} applied once at key prep,
+    cached on the key object) and each rotation pays exactly ONE output
+    gather of (L, 2, N) — instead of gathering the full (D, E, 2, N)
+    alpha tensor per rotation. Per-rotation chip cost: the pointwise key
+    product, the P mod-down (g' inverse + L forward channel-NTTs), and
+    one slot gather — vs the reference's full per-rotation key switch
+    (decomposition + key switch, engine.rs:429-452).
 
-    perms: int32 (m, N) NTT-domain permutations; keys_*: (m, D, E, 2, N).
-    Returns (out0, out1): (m, ..., L, 2, N) stacked rotated ciphertexts.
+    perms: int32 (m, N) FORWARD NTT-domain permutations (applied to the
+    combined output); keys_*_inv: (m, D, E, 2, N) inverse-permuted keys.
+    Returns (out0, out1): (m, L, 2, N) stacked rotated ciphertexts.
     """
-    _check_key_compat(ctx, keys_a[0], digit_size)
+    _check_key_compat(ctx, keys_a_inv[0], digit_size)
     plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
     alpha_ntt = _decompose_alpha(c1, ctx, ext_ctx, plan)
 
-    # all rotations processed as one stacked leading axis m: the gathers,
-    # key products and mod-downs batch through the (lead-dim polymorphic)
-    # kernels, amortising twiddle fetches across the whole rotation set
-    a_p = jnp.moveaxis(jnp.take(alpha_ntt, perms, axis=-1), -2, 0)
-    ks0 = _mod_sum(mm.mont_mul(a_p, keys_b, ext_ctx.chain), ext_ctx.chain)
-    ks1 = _mod_sum(mm.mont_mul(a_p, keys_a, ext_ctx.chain), ext_ctx.chain)
+    if pops._use_pallas_fused(ext_ctx):
+        # small chains: single-limb planes halve every elementwise pass
+        # and gather (hi limbs are identically zero)
+        from .ops import small_fast as sf
+
+        lo = lambda x: x[..., 0, :]
+        q, qinv = ext_ctx.chain.q[:, 0], ext_ctx.chain.qinv[:, 0]
+        a_lo = lo(alpha_ntt)
+        p0 = sf.mont_mul_lo(a_lo, lo(keys_b_inv), q, qinv)
+        p1 = sf.mont_mul_lo(a_lo, lo(keys_a_inv), q, qinv)
+        red = lambda p: functools.reduce(
+            lambda x, y: sf.add_lo(x, y, q), [p[:, t] for t in range(p.shape[1])]
+        )
+        ks0 = sf.mod_down_lo(red(p0), ctx, ext_ctx, plan)
+        ks1 = sf.mod_down_lo(red(p1), ctx, ext_ctx, plan)
+        qb = ctx.chain.q[:, 0]
+        s0 = sf.add_lo(jnp.broadcast_to(lo(c0), ks0.shape), ks0, qb)
+        take = lambda x: jnp.stack(
+            [jnp.take(x[i], perms[i], axis=-1)
+             for i in range(perms.shape[0])]
+        )
+        stack2 = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
+        return stack2(take(s0)), stack2(take(ks1))
+
+    # alpha broadcasts over the rotation axis m; no gather here
+    ks0 = _mod_sum(
+        mm.mont_mul(alpha_ntt, keys_b_inv, ext_ctx.chain), ext_ctx.chain
+    )
+    ks1 = _mod_sum(
+        mm.mont_mul(alpha_ntt, keys_a_inv, ext_ctx.chain), ext_ctx.chain
+    )
     ks0 = _mod_down_dispatch(ks0, ctx, ext_ctx, plan)
     ks1 = _mod_down_dispatch(ks1, ctx, ext_ctx, plan)
-    c0r = jnp.moveaxis(jnp.take(c0, perms, axis=-1), -2, 0)
-    return mm.add_mod(c0r, ks0, ctx.chain), ks1
+    # one output gather per rotation: perm_i(c0 + ks0_i), perm_i(ks1_i).
+    # Per-rotation jnp.take with a shared (N,) index vector — an order of
+    # magnitude faster on TPU than one batched take_along_axis (measured
+    # 9.7 vs 0.66 G elems/s).
+    s0 = mm.add_mod(jnp.broadcast_to(c0, ks0.shape), ks0, ctx.chain)
+    out0 = jnp.stack(
+        [jnp.take(s0[i], perms[i], axis=-1) for i in range(perms.shape[0])]
+    )
+    out1 = jnp.stack(
+        [jnp.take(ks1[i], perms[i], axis=-1) for i in range(perms.shape[0])]
+    )
+    return out0, out1
 
 
 @functools.partial(jax.jit, static_argnames=("digit_size",))
@@ -708,8 +747,22 @@ class CkksEngine:
                 for k in rotks
             ]
         )
-        keys_a = jnp.stack([k.a for k in rotks])
-        keys_b = jnp.stack([k.b for k in rotks])
+
+        def inv_keys(k):
+            cached = k.hoist_cache.get("inv")
+            if cached is None:
+                e = pow(5, k.rotation % half, two_n)
+                inv_perm = ctx.automorphism_table_ntt(pow(e, -1, two_n))
+                cached = (
+                    jnp.take(k.a, inv_perm, axis=-1),
+                    jnp.take(k.b, inv_perm, axis=-1),
+                )
+                k.hoist_cache["inv"] = cached
+            return cached
+
+        pairs = [inv_keys(k) for k in rotks]
+        keys_a = jnp.stack([p[0] for p in pairs])
+        keys_b = jnp.stack([p[1] for p in pairs])
         out0, out1 = _hoisted_rotate_core(
             ct.c0.to_ntt_domain().data,
             ct.c1.to_ntt_domain().data,

@@ -339,6 +339,9 @@ class RnsGadgetRotationKey:
     ext_ctx: CkksContext
     special: int  # product of the special primes
     digit_size: int = 1
+    # inverse-permuted key planes for hoisted rotation, built once on
+    # first use (dict contents are mutable; the dataclass stays frozen)
+    hoist_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @staticmethod
     def generate(
