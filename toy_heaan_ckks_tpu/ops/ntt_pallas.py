@@ -407,10 +407,14 @@ def _ntt_kernel_fac(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
 
 
 def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
-                *, n: int, r: int, c: int, inverse: bool, lazy: bool):
+                *, n: int, r: int, c: int, inverse: bool, lazy: bool,
+                pair: int = 1):
+    """``pair`` > 1 processes that many independent planes per grid step
+    (same twiddles), giving the compiler independent dependency chains to
+    interleave — the 14 serial stages are latency-bound on one plane."""
     ch = pl.program_id(0)
     q = q_ref[ch, 0]
-    x = x_ref[0, 0]
+    xs = [x_ref[p, 0] for p in range(pair)]
     s_count = n.bit_length() - 1
     stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
     for s in stage_order:
@@ -418,31 +422,34 @@ def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
         axis, amount, mask = _butterfly_args(n, r, c, d)
         w = w_ref[0, s].reshape(r, c)
         wp = wp_ref[0, s].reshape(r, c)
-        if lazy and inverse:
-            x = _inv_stage_lazy(x, w, wp, q, axis, amount, mask)
-            continue
-        if lazy:
-            x = _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
-            continue
-        v_at_u = _shift(x, amount, axis)  # x[p + d]
-        u_at_v = _shift(x, -amount, axis)  # x[p - d]
-        if inverse:
-            total = _add_mod(x, v_at_u, q)  # at u: x[u] + x[v]
-            diff = _sub_mod(u_at_v, x, q)  # at v: x[u] - x[v]
-            x = jnp.where(mask, total, _harvey_mul(diff, w, wp, q))
-        else:
+
+        def stage(x):
+            if lazy and inverse:
+                return _inv_stage_lazy(x, w, wp, q, axis, amount, mask)
+            if lazy:
+                return _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
+            v_at_u = _shift(x, amount, axis)  # x[p + d]
+            u_at_v = _shift(x, -amount, axis)  # x[p - d]
+            if inverse:
+                total = _add_mod(x, v_at_u, q)  # at u: x[u] + x[v]
+                diff = _sub_mod(u_at_v, x, q)  # at v: x[u] - x[v]
+                return jnp.where(mask, total, _harvey_mul(diff, w, wp, q))
             operand = jnp.where(mask, v_at_u, x)  # x[v] everywhere
             wv = _harvey_mul(operand, w, wp, q)
-            x = jnp.where(
+            return jnp.where(
                 mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q)
             )
-    if inverse:
-        # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
-        # canonicalises to [0, q) in both modes
-        x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
-    elif lazy:
-        x = _reduce_2q_q(x, q)
-    o_ref[0, 0] = x
+
+        xs = [stage(x) for x in xs]
+    for p in range(pair):
+        x = xs[p]
+        if inverse:
+            # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
+            # canonicalises to [0, q) in both modes
+            x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
+        elif lazy:
+            x = _reduce_2q_q(x, q)
+        o_ref[p, 0] = x
 
 
 # ── pallas_call wrapper ──────────────────────────────────────────────────────
@@ -462,15 +469,19 @@ def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
     x = lo.reshape(-1, L, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
+    pair = int(os.environ.get("CKKS_NTT_PAIR", "1"))
+    if pair < 1 or outer % pair:
+        pair = 1
 
     kernel = functools.partial(
-        _ntt_kernel, n=n, r=r, c=c, inverse=inverse, lazy=lazy
+        _ntt_kernel, n=n, r=r, c=c, inverse=inverse, lazy=lazy, pair=pair
     )
     smem = lambda: pl.BlockSpec(
         (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
     )
     data_spec = lambda: pl.BlockSpec(
-        (1, 1, r, c), lambda ch, o: (o, ch, 0, 0), memory_space=pltpu.VMEM
+        (pair, 1, r, c), lambda ch, o: (o, ch, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     plane_spec = lambda: pl.BlockSpec(
         (1, s_count, r, c),
@@ -479,7 +490,7 @@ def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(L, outer),
+        grid=(L, outer // pair),
         in_specs=[
             smem(),
             smem(),
