@@ -41,13 +41,13 @@ PRIME_BITS = 31
 DIGIT_SIZE = 4  # hybrid key-switch digit size (4 channels/digit, 4 specials)
 BATCH = 32  # throughput knee: twiddle/key fetches amortise across the batch
 WARMUP = 2
-ITERS = 32  # marginal loop length: keeps chip time >> tunnel flush jitter
+ITERS = 96  # marginal loop length: keeps chip time >> tunnel flush jitter
 
 WIDE_DEGREE = 1 << 13
 WIDE_PRIMES = 4
 WIDE_BITS = 61
 WIDE_BATCH = 8
-WIDE_ITERS = 16
+WIDE_ITERS = 64
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _CPU_CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
@@ -137,10 +137,17 @@ def _measure(degree: int, num_primes: int, bits: int, digit_size: int,
         timed(short)
         timed(long_)
 
-    n_reps = 3 if iters > 2 else 1
-    t_short = statistics.median(timed(short) for _ in range(n_reps))
-    t_long = statistics.median(timed(long_) for _ in range(n_reps))
-    return max(t_long - t_short, 1e-9) / ((long_ - short) * batch)
+    # Tunnel latency drifts minute-to-minute, so PAIR each long sample
+    # with an adjacent short sample and take the median of the paired
+    # deltas — more robust than median(long) - median(short) when the
+    # baseline moves between reps.
+    n_reps = 5 if iters > 2 else 1
+    deltas = []
+    for _ in range(n_reps):
+        ts = timed(short)
+        tl = timed(long_)
+        deltas.append(tl - ts)
+    return max(statistics.median(deltas), 1e-9) / ((long_ - short) * batch)
 
 
 def _measure_ntt_roofline() -> dict:

@@ -92,3 +92,82 @@ def test_factored_supports_2_16():
     np.testing.assert_array_equal(
         np.asarray(p.data[..., 0, :]), np.asarray(got_i)
     )
+
+
+def test_fused_composite_factored_2_16():
+    """The fused mult+relin+rescale composite at N = 2^16: the in-kernel
+    NTT stages (key-switch accumulate, yhat emission, mod-down combine)
+    run on factored row x lane twiddles there; bit-exact vs the generic
+    jnp branch, same oracle discipline as the N <= 2^15 plane path."""
+    import jax.numpy as jnp
+
+    from toy_heaan_ckks_tpu import CkksEngine, CkksParams
+    from toy_heaan_ckks_tpu.engine import _switch_plan
+    from toy_heaan_ckks_tpu.ops import small_fast as sf
+    from toy_heaan_ckks_tpu.ops.poly import _use_pallas_fused, _on_tpu
+    from toy_heaan_ckks_tpu.parallel.sharded import (
+        _mul_relin_rescale_arrays,
+    )
+
+    degree = 1 << 16
+    ctx = CkksContext.build(generate_primes(30, 2, degree), degree)
+    if _on_tpu():  # gate itself (tests force CPU; guard is for chip runs)
+        assert _use_pallas_fused(ctx)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(11)
+    sk = eng.generate_secret_key(rng)
+    rlk = eng.generate_gadget_relin_key(sk, rng, digit_size=2)
+    plan = _switch_plan(ctx.moduli, rlk.ext_ctx.moduli, rlk.digit_size)
+    args = [
+        Poly.sample_uniform(ctx, make_rng(20 + s)).to_ntt_domain().data[None]
+        for s in range(4)
+    ]
+    g0, g1 = _mul_relin_rescale_arrays(
+        *args, rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1),
+        digit_size=rlk.digit_size,
+    )
+    f0, f1 = sf.mul_relin_rescale_lo(
+        *[jnp.asarray(a)[..., 0, :] for a in args], rlk.a, rlk.b,
+        ctx, rlk.ext_ctx, plan, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g0[..., 0, :]), np.asarray(f0))
+    np.testing.assert_array_equal(np.asarray(g1[..., 0, :]), np.asarray(f1))
+
+
+def test_fused_composite_factored_wide_2_15():
+    """Wide (2-limb) fused composite above its expanded-plane octave
+    (N = 2^15 > 2^14): key-switch accumulate, yhat emission, and mod-down
+    combine all run factored row x lane twiddles; bit-exact vs the
+    generic jnp branch."""
+    import jax.numpy as jnp
+
+    from toy_heaan_ckks_tpu import CkksEngine, CkksParams
+    from toy_heaan_ckks_tpu.engine import _switch_plan
+    from toy_heaan_ckks_tpu.ops import wide_fast as wf
+    from toy_heaan_ckks_tpu.ops.ntt_pallas_wide import _use_factored_wide
+    from toy_heaan_ckks_tpu.parallel.sharded import (
+        _mul_relin_rescale_arrays,
+    )
+
+    degree = 1 << 15
+    assert _use_factored_wide(degree)
+    ctx = CkksContext.build(generate_primes(61, 2, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 61))
+    rng = make_rng(13)
+    sk = eng.generate_secret_key(rng)
+    rlk = eng.generate_gadget_relin_key(sk, rng, digit_size=1)
+    plan = _switch_plan(ctx.moduli, rlk.ext_ctx.moduli, rlk.digit_size)
+    args = [
+        Poly.sample_uniform(ctx, make_rng(30 + s)).to_ntt_domain().data[None]
+        for s in range(4)
+    ]
+    g0, g1 = _mul_relin_rescale_arrays(
+        *args, rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1),
+        digit_size=rlk.digit_size,
+    )
+    f0, f1 = wf.mul_relin_rescale_wide(
+        *[jnp.asarray(a) for a in args], rlk.a, rlk.b,
+        ctx, rlk.ext_ctx, plan, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(f0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(f1))

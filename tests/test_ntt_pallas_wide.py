@@ -68,3 +68,32 @@ def test_supported_wide_gate():
     assert not supported_wide(1 << 17, (1 << 40,))
     assert not supported_wide(512, (1 << 40,))
     assert not supported_wide(1 << 12, (1 << 63,))  # beyond Montgomery budget
+
+
+def test_wide_kernel_63bit_non_lazy_roundtrip():
+    """Harvey-lazy needs 4q < 2^64 (q < 2^62); a 63-bit modulus must
+    dispatch the strict-reduction butterflies and still match the staged
+    jnp oracle bit-exactly."""
+    from toy_heaan_ckks_tpu.ops.ntt_pallas_wide import lazy_ok_wide
+
+    degree, bits, count = 1024, 63, 1
+    ctx = CkksContext.build(generate_primes(bits, count, degree), degree)
+    assert not lazy_ok_wide(ctx.moduli)
+    assert all((1 << 62) < int(m) < (1 << 63) for m in ctx.moduli)
+    p = Poly.sample_uniform(ctx, make_rng(17))
+    ref = pops.forward_ntt(p.data, ctx.ntt, ctx.chain)
+    got = ntt_pallas_wide(
+        p.data, tuple(ctx.moduli), degree, False, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    gi = ntt_pallas_wide(
+        got, tuple(ctx.moduli), degree, True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(p.data))
+
+
+def test_lazy_ok_wide_gate():
+    from toy_heaan_ckks_tpu.ops.ntt_pallas_wide import lazy_ok_wide
+
+    assert lazy_ok_wide([(1 << 61) + 33, (1 << 40) + 5])
+    assert not lazy_ok_wide([(1 << 62) + 57])

@@ -122,11 +122,18 @@ def run_arm(cfg, disable_pallas: bool, out_path: str) -> tuple[bool, str, float]
     if disable_pallas:
         env["CKKS_DISABLE_PALLAS"] = "1"
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-c", _RUNNER, str(degree), str(bits), str(count),
-         str(ds), out_path],
-        env=env, capture_output=True, text=True, timeout=1800,
-    )
+    # N = 2^16 staged-jnp arms spend most of their wall clock in remote
+    # compiles (each one cached persistently, so a retry resumes);
+    # give the big configs more headroom and survive a timeout.
+    limit = 3600 if degree >= (1 << 16) else 1800
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _RUNNER, str(degree), str(bits),
+             str(count), str(ds), out_path],
+            env=env, capture_output=True, text=True, timeout=limit,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"runner timed out after {limit}s", time.time() - t0
     dt = time.time() - t0
     if proc.returncode != 0:
         return False, proc.stderr[-2000:], dt

@@ -31,14 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ntt_pallas import (
     _add_mod,
-    _butterfly_args,
-    _fwd_stage_lazy,
+    _fwd_stages_tw,
     _harvey_mul,
     _layout,
     _planes_cached,
-    _reduce_2q_q,
-    _shift,
-    _sub_mod,
+    _planes_factored_cached,
+    _tw_from_factors,
+    _tw_from_planes,
+    _use_factored,
     lazy_ok,
 )
 
@@ -109,31 +109,17 @@ def _switch_consts(base_moduli: tuple, ext_moduli: tuple, digit_size: int):
     return c, cs, q, qinv, digit_size
 
 
-def _fwd_stages(x, w_ref, wp_ref, q, n: int, r: int, c: int,
-                lazy: bool = False):
-    """All forward butterfly stages on a VMEM-resident plane."""
-    for s in range(n.bit_length() - 1):
-        d = n >> (s + 1)
-        axis, amount, mask = _butterfly_args(n, r, c, d)
-        w = w_ref[0, s].reshape(r, c)
-        wp = wp_ref[0, s].reshape(r, c)
-        if lazy:
-            x = _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
-            continue
-        v_at_u = _shift(x, amount, axis)
-        u_at_v = _shift(x, -amount, axis)
-        operand = jnp.where(mask, v_at_u, x)
-        wv = _harvey_mul(operand, w, wp, q)
-        x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
-    if lazy:
-        x = _reduce_2q_q(x, q)  # canonical [0, q) into the key REDC
-    return x
-
-
-def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
-               ka_ref, kb_ref, o0_ref, o1_ref,
-               *, n: int, r: int, c: int, num_digits: int,
-               digit_size: int, num_base: int, lazy: bool):
+def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
+               n: int, r: int, c: int, num_digits: int,
+               digit_size: int, num_base: int, lazy: bool, factored: bool):
+    if factored:
+        rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref, o0_ref, o1_ref = (
+            rest
+        )
+        get_tw = _tw_from_factors(rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c)
+    else:
+        w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
+        get_tw = _tw_from_planes(w_ref, wp_ref, r, c)
     j = pl.program_id(0)
     q = q_ref[j, 0]
     qinv = qinv_ref[j, 0]
@@ -149,7 +135,7 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, w_ref, wp_ref,
                 y_ref[0, k], c_ref[k, j], cs_ref[k, j], q
             )
             x = term if x is None else _add_mod(x, term, q)
-        x = _fwd_stages(x, w_ref, wp_ref, q, n, r, c, lazy)
+        x = _fwd_stages_tw(x, get_tw, q, n, r, c, lazy)
         acc0 = _add_mod(acc0, _mont_redc(x, kb_ref[t, 0], q, qinv), q)
         acc1 = _add_mod(acc1, _mont_redc(x, ka_ref[t, 0], q, qinv), q)
     o0_ref[0, 0] = acc0
@@ -192,7 +178,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     )
     if D != -(-L // digit_size):
         raise ValueError("key digit count does not match digit_size")
-    fwd_w, fwd_wp = _planes_cached(tuple(ext_moduli), n)[:2]
+    factored = _use_factored(n)
 
     ka = key_a[..., 0, :].reshape(D, E, r, c)
     kb = key_b[..., 0, :].reshape(D, E, r, c)
@@ -200,6 +186,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     kernel = functools.partial(
         _ks_kernel, n=n, r=r, c=c, num_digits=D,
         digit_size=digit_size, num_base=L, lazy=lazy_ok(ext_moduli),
+        factored=factored,
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
@@ -208,12 +195,26 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
         (1, s_count, r, c), lambda j, o: (j, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    fac = lambda dim: pl.BlockSpec(
+        (1, s_count, dim), lambda j, o: (j, 0, 0), memory_space=pltpu.VMEM
+    )
     key_spec = lambda: pl.BlockSpec(
         (D, 1, r, c), lambda j, o: (0, j, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, 1, r, c), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
     )
+    if factored:
+        frw, frwp, flw, flwp = _planes_factored_cached(
+            tuple(ext_moduli), n
+        )[:4]
+        tw_specs = [fac(r), fac(r), fac(c), fac(c)]
+        tw_args = [frw, frwp, flw, flwp]
+    else:
+        fwd_w, fwd_wp = _planes_cached(tuple(ext_moduli), n)[:2]
+        tw_specs = [plane(), plane()]
+        tw_args = [fwd_w.reshape(E, s_count, r, c),
+                   fwd_wp.reshape(E, s_count, r, c)]
     ks0, ks1 = pl.pallas_call(
         kernel,
         grid=(E, outer),
@@ -226,8 +227,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
                 (1, L, r, c), lambda j, o: (o, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            plane(),
-            plane(),
+            *tw_specs,
             key_spec(),
             key_spec(),
         ],
@@ -237,8 +237,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
             jax.ShapeDtypeStruct((outer, E, r, c), jnp.uint32),
         ),
         interpret=interpret,
-    )(q, qinv, cst, cst_s, y, fwd_w.reshape(E, s_count, r, c),
-      fwd_wp.reshape(E, s_count, r, c), ka, kb)
+    )(q, qinv, cst, cst_s, y, *tw_args, ka, kb)
 
     def finish(x):
         x = x.reshape(*lead, E, n)

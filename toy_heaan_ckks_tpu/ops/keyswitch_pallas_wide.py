@@ -35,10 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .ntt_pallas import _butterfly_args, _layout, _shift
 from .ntt_pallas_wide import (
     _add_mod64,
+    _fwd_stage_lazy64,
     _harvey64,
+    _inv_stage_lazy64,
     _planes_cached_wide,
+    _planes_factored_cached_wide,
+    _reduce_4q_q64,
     _sub_mod64,
+    _tw_from_factors_wide,
+    _tw_from_planes_wide,
+    _tw_mul64,
+    _use_factored_wide,
+    lazy_ok_wide,
 )
+from .u64 import add64
 from .u64 import add128, geq64, mul64_128, mullo64, select64, sub64
 
 
@@ -61,19 +71,29 @@ def _shoup64(w: int, q: int) -> int:
     return (w << 64) // q
 
 
-def _fwd_stages_wide(x, w_ref, wp_ref, q, n: int, r: int, c: int):
-    """All forward butterfly stages on a VMEM-resident 2-limb plane."""
+def _fwd_stages_wide(x, get_tw, q, n: int, r: int, c: int,
+                     lazy: bool = False):
+    """All forward butterfly stages on a VMEM-resident 2-limb plane.
+
+    ``get_tw(s)`` yields the stage twiddle as an (rw, rwp, lw, lwp) tuple
+    of limb pairs (lw None -> single Harvey64) — expanded planes and
+    factored row x lane forms drive identical butterfly arithmetic.
+    Output canonical [0, q) (into the key REDC / combine subtract)."""
+    two_q = add64(q, q)
     for s in range(n.bit_length() - 1):
         d = n >> (s + 1)
         axis, amount, mask = _butterfly_args(n, r, c, d)
-        w = (w_ref[0, s, 0].reshape(r, c), w_ref[0, s, 1].reshape(r, c))
-        wp = (wp_ref[0, s, 0].reshape(r, c), wp_ref[0, s, 1].reshape(r, c))
+        if lazy:
+            x = _fwd_stage_lazy64(x, get_tw(s), q, two_q, axis, amount, mask)
+            continue
         shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
         v_at_u = shift2(x, amount)
         u_at_v = shift2(x, -amount)
         operand = select64(mask, v_at_u, x)
-        wv = _harvey64(operand, w, wp, q)
+        wv = _tw_mul64(operand, get_tw(s), q)
         x = select64(mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q))
+    if lazy:
+        x = _reduce_4q_q64(x, q, two_q)
     return x
 
 
@@ -122,9 +142,19 @@ def _switch_consts_wide(base_moduli: tuple, ext_moduli: tuple,
 
 
 def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
-                    y_ref, w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref,
-                    *, n: int, r: int, c: int, num_digits: int,
-                    digit_size: int, num_base: int):
+                    y_ref, *rest,
+                    n: int, r: int, c: int, num_digits: int,
+                    digit_size: int, num_base: int, factored: bool,
+                    lazy: bool):
+    if factored:
+        (rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref,
+         o0_ref, o1_ref) = rest
+        get_tw = _tw_from_factors_wide(
+            rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c
+        )
+    else:
+        w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
+        get_tw = _tw_from_planes_wide(w_ref, wp_ref, r, c)
     j = pl.program_id(0)
     q = (q_ref[j, 0], q_ref[j, 1])
     qinv = (qinv_ref[j, 0], qinv_ref[j, 1])
@@ -142,7 +172,7 @@ def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
             cwp = (cslo_ref[k, j], cshi_ref[k, j])
             term = _harvey64(yk, cw, cwp, q)
             x = term if x is None else _add_mod64(x, term, q)
-        x = _fwd_stages_wide(x, w_ref, wp_ref, q, n, r, c)
+        x = _fwd_stages_wide(x, get_tw, q, n, r, c, lazy)
         kb = (kb_ref[t, 0, 0], kb_ref[t, 0, 1])
         ka = (ka_ref[t, 0, 0], ka_ref[t, 0, 1])
         acc0 = _add_mod64(acc0, _redc64(x, kb, q, qinv), q)
@@ -182,20 +212,25 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
     )
     if D != -(-L // digit_size):
         raise ValueError("key digit count does not match digit_size")
-    fwd_w, fwd_wp = _planes_cached_wide(tuple(ext_moduli), n)[:2]
+    factored = _use_factored_wide(n)
 
     ka = key_a.reshape(D, E, 2, r, c)
     kb = key_b.reshape(D, E, 2, r, c)
 
     kernel = functools.partial(
         _ks_kernel_wide, n=n, r=r, c=c, num_digits=D,
-        digit_size=digit_size, num_base=L,
+        digit_size=digit_size, num_base=L, factored=factored,
+        lazy=lazy_ok_wide(ext_moduli),
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0,) * len(shape), memory_space=pltpu.SMEM
     )
     plane = lambda: pl.BlockSpec(
         (1, s_count, 2, r, c), lambda j, o: (j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    fac = lambda dim: pl.BlockSpec(
+        (1, s_count, 2, dim), lambda j, o: (j, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     key_spec = lambda: pl.BlockSpec(
@@ -206,6 +241,17 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
         (1, 1, 2, r, c), lambda j, o: (o, j, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    if factored:
+        frw, frwp, flw, flwp = _planes_factored_cached_wide(
+            tuple(ext_moduli), n
+        )[:4]
+        tw_specs = [fac(r), fac(r), fac(c), fac(c)]
+        tw_args = [frw, frwp, flw, flwp]
+    else:
+        fwd_w, fwd_wp = _planes_cached_wide(tuple(ext_moduli), n)[:2]
+        tw_specs = [plane(), plane()]
+        tw_args = [fwd_w.reshape(E, s_count, 2, r, c),
+                   fwd_wp.reshape(E, s_count, 2, r, c)]
     ks0, ks1 = pl.pallas_call(
         kernel,
         grid=(E, outer),
@@ -220,8 +266,7 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
                 (1, L, 2, r, c), lambda j, o: (o, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            plane(),
-            plane(),
+            *tw_specs,
             key_spec(),
             key_spec(),
         ],
@@ -231,9 +276,7 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
             jax.ShapeDtypeStruct((outer, E, 2, r, c), jnp.uint32),
         ),
         interpret=interpret,
-    )(q, qinv, c_lo, c_hi, cs_lo, cs_hi, y,
-      fwd_w.reshape(E, s_count, 2, r, c), fwd_wp.reshape(E, s_count, 2, r, c),
-      ka, kb)
+    )(q, qinv, c_lo, c_hi, cs_lo, cs_hi, y, *tw_args, ka, kb)
 
     def finish(x):
         return x.reshape(*lead, E, 2, n)
@@ -297,24 +340,35 @@ def _down_consts_wide(child_moduli: tuple, dropped_moduli: tuple,
             yfin, yfin_s, q_child)
 
 
-def _inv_yhat_kernel_wide(q_ref, fin_ref, finp_ref, x_ref, w_ref, wp_ref,
-                          o_ref, *, n: int, r: int, c: int):
+def _inv_yhat_kernel_wide(q_ref, fin_ref, finp_ref, x_ref, *rest,
+                          n: int, r: int, c: int, factored: bool,
+                          lazy: bool):
     """Inverse NTT emitting plain yhat (final constant folded in)."""
+    if factored:
+        rw_ref, rwp_ref, lw_ref, lwp_ref, o_ref = rest
+        get_tw = _tw_from_factors_wide(
+            rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c
+        )
+    else:
+        w_ref, wp_ref, o_ref = rest
+        get_tw = _tw_from_planes_wide(w_ref, wp_ref, r, c)
     ch = pl.program_id(0)
     q = (q_ref[ch, 0], q_ref[ch, 1])
+    two_q = add64(q, q)
     x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
     s_count = n.bit_length() - 1
     for s in range(s_count - 1, -1, -1):
         d = n >> (s + 1)
         axis, amount, mask = _butterfly_args(n, r, c, d)
-        w = (w_ref[0, s, 0].reshape(r, c), w_ref[0, s, 1].reshape(r, c))
-        wp = (wp_ref[0, s, 0].reshape(r, c), wp_ref[0, s, 1].reshape(r, c))
+        if lazy:
+            x = _inv_stage_lazy64(x, get_tw(s), q, two_q, axis, amount, mask)
+            continue
         shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
         v_at_u = shift2(x, amount)
         u_at_v = shift2(x, -amount)
         total = _add_mod64(x, v_at_u, q)
         diff = _sub_mod64(u_at_v, x, q)
-        wv = _harvey64(diff, w, wp, q)
+        wv = _tw_mul64(diff, get_tw(s), q)
         x = select64(mask, total, wv)
     fin = (fin_ref[ch, 0], fin_ref[ch, 1])
     finp = (finp_ref[ch, 0], finp_ref[ch, 1])
@@ -335,9 +389,7 @@ def inv_ntt_to_yhat_wide(x_dropped, dropped_moduli: tuple,
         tuple(child_moduli), tuple(dropped_moduli), degree
     )
     yfin, yfin_s = consts[8], consts[9]
-    _, _, inv_w, inv_wp, q, _, _ = _planes_cached_wide(
-        tuple(dropped_moduli), degree
-    )
+    factored = _use_factored_wide(degree)
     n = degree
     r, c = _layout(n)
     G = len(dropped_moduli)
@@ -346,7 +398,10 @@ def inv_ntt_to_yhat_wide(x_dropped, dropped_moduli: tuple,
     outer = x.shape[0]
     s_count = n.bit_length() - 1
 
-    kernel = functools.partial(_inv_yhat_kernel_wide, n=n, r=r, c=c)
+    kernel = functools.partial(
+        _inv_yhat_kernel_wide, n=n, r=r, c=c, factored=factored,
+        lazy=lazy_ok_wide(dropped_moduli),
+    )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda ch, o: (0, 0), memory_space=pltpu.SMEM
     )
@@ -358,23 +413,44 @@ def inv_ntt_to_yhat_wide(x_dropped, dropped_moduli: tuple,
         (1, s_count, 2, r, c), lambda ch, o: (ch, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    fac = lambda dim: pl.BlockSpec(
+        (1, s_count, 2, dim), lambda ch, o: (ch, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if factored:
+        tabs = _planes_factored_cached_wide(tuple(dropped_moduli), degree)
+        irw, irwp, ilw, ilwp, q = (tabs[4], tabs[5], tabs[6], tabs[7],
+                                   tabs[8])
+        tw_specs = [fac(r), fac(r), fac(c), fac(c)]
+        tw_args = [irw, irwp, ilw, ilwp]
+    else:
+        _, _, inv_w, inv_wp, q, _, _ = _planes_cached_wide(
+            tuple(dropped_moduli), degree
+        )
+        tw_specs = [plane(), plane()]
+        tw_args = [inv_w.reshape(G, s_count, 2, r, c),
+                   inv_wp.reshape(G, s_count, 2, r, c)]
     out = pl.pallas_call(
         kernel,
         grid=(G, outer),
         in_specs=[smem(q.shape), smem(yfin.shape), smem(yfin_s.shape),
-                  data_spec(), plane(), plane()],
+                  data_spec(), *tw_specs],
         out_specs=data_spec(),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
         interpret=interpret,
-    )(q, yfin, yfin_s, x, inv_w.reshape(G, s_count, 2, r, c),
-      inv_wp.reshape(G, s_count, 2, r, c))
+    )(q, yfin, yfin_s, x, *tw_args)
     return out.reshape(*lead, G, 2, n)
 
 
 def _md_core_wide(q_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
                   pm_ref, pms_ref, pi_ref, pis_ref,
-                  yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-                  n: int, r: int, c: int, n_dropped: int):
+                  yhat_ref, head_ref, t_ref, tw_refs, o_ref,
+                  n: int, r: int, c: int, n_dropped: int, factored: bool,
+                  lazy: bool):
+    if factored:
+        get_tw = _tw_from_factors_wide(*tw_refs, n, r, c)
+    else:
+        get_tw = _tw_from_planes_wide(*tw_refs, r, c)
     j = pl.program_id(0)
     q = (q_ref[j, 0], q_ref[j, 1])
     ext = None
@@ -384,7 +460,7 @@ def _md_core_wide(q_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
         cwp = (cslo_ref[m, j], cshi_ref[m, j])
         term = _harvey64(ym, cw, cwp, q)
         ext = term if ext is None else _add_mod64(ext, term, q)
-    ext = _fwd_stages_wide(ext, w_ref, wp_ref, q, n, r, c)
+    ext = _fwd_stages_wide(ext, get_tw, q, n, r, c, lazy)
     head = (head_ref[0, 0, 0], head_ref[0, 0, 1])
     if t_ref is not None:
         tv = (t_ref[0, 0, 0], t_ref[0, 0, 1])
@@ -401,19 +477,21 @@ def _md_core_wide(q_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
 
 
 def _md_kernel_wide_no_t(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
-                         yhat_ref, head_ref, w_ref, wp_ref, o_ref,
-                         *, n, r, c, n_dropped):
+                         yhat_ref, head_ref, *rest,
+                         n, r, c, n_dropped, factored, lazy):
+    *tw_refs, o_ref = rest
     _md_core_wide(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
-                  yhat_ref, head_ref, None, w_ref, wp_ref, o_ref,
-                  n, r, c, n_dropped)
+                  yhat_ref, head_ref, None, tw_refs, o_ref,
+                  n, r, c, n_dropped, factored, lazy)
 
 
 def _md_kernel_wide_t(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
-                      yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-                      *, n, r, c, n_dropped):
+                      yhat_ref, head_ref, t_ref, *rest,
+                      n, r, c, n_dropped, factored, lazy):
+    *tw_refs, o_ref = rest
     _md_core_wide(q_ref, clo, chi, cslo, cshi, pm, pms, pi, pis,
-                  yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-                  n, r, c, n_dropped)
+                  yhat_ref, head_ref, t_ref, tw_refs, o_ref,
+                  n, r, c, n_dropped, factored, lazy)
 
 
 @functools.partial(
@@ -444,12 +522,13 @@ def mod_down_combine_pallas_wide(yhat, ks, t=None, *, child_moduli: tuple,
      q_child) = _down_consts_wide(
         tuple(child_moduli), tuple(dropped_moduli), degree, t_scale
     )
-    fwd_w, fwd_wp = _planes_cached_wide(tuple(child_moduli), degree)[:2]
+    factored = _use_factored_wide(degree)
 
     has_t = t is not None
     kernel = functools.partial(
         _md_kernel_wide_t if has_t else _md_kernel_wide_no_t,
-        n=n, r=r, c=cdim, n_dropped=G,
+        n=n, r=r, c=cdim, n_dropped=G, factored=factored,
+        lazy=lazy_ok_wide(child_moduli),
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
@@ -478,9 +557,21 @@ def mod_down_combine_pallas_wide(yhat, ks, t=None, *, child_moduli: tuple,
     if has_t:
         in_specs.append(per_ch())
         args.append(t.reshape(-1, Lc, 2, r, cdim))
-    in_specs += [plane(), plane()]
-    args += [fwd_w.reshape(Lc, s_count, 2, r, cdim),
-             fwd_wp.reshape(Lc, s_count, 2, r, cdim)]
+    fac = lambda dim: pl.BlockSpec(
+        (1, s_count, 2, dim), lambda j, o: (j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if factored:
+        frw, frwp, flw, flwp = _planes_factored_cached_wide(
+            tuple(child_moduli), degree
+        )[:4]
+        in_specs += [fac(r), fac(r), fac(cdim), fac(cdim)]
+        args += [frw, frwp, flw, flwp]
+    else:
+        fwd_w, fwd_wp = _planes_cached_wide(tuple(child_moduli), degree)[:2]
+        in_specs += [plane(), plane()]
+        args += [fwd_w.reshape(Lc, s_count, 2, r, cdim),
+                 fwd_wp.reshape(Lc, s_count, 2, r, cdim)]
 
     out = pl.pallas_call(
         kernel,

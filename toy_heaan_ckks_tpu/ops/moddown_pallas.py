@@ -30,13 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .ntt_pallas import (
     _harvey_mul,
     _layout,
+    _ntt_factored_call,
     _planes_cached,
+    _planes_factored_cached,
     _ntt_planes_call,
     _sub_mod,
     _add_mod,
+    _fwd_stages_tw,
+    _tw_from_factors,
+    _tw_from_planes,
+    _use_factored,
     lazy_ok,
 )
-from .keyswitch_pallas import _fwd_stages
 
 
 @functools.lru_cache(maxsize=128)
@@ -108,6 +113,14 @@ def inv_ntt_to_yhat(x_dropped_lo, dropped_moduli: tuple,
         tuple(child_moduli), tuple(dropped_moduli), degree
     )
     yfin, yfin_s = consts[6], consts[7]
+    if _use_factored(degree):
+        tabs = _planes_factored_cached(tuple(dropped_moduli), degree)
+        irw, irwp, ilw, ilwp, q = tabs[4], tabs[5], tabs[6], tabs[7], tabs[8]
+        return _ntt_factored_call(
+            x_dropped_lo, irw, irwp, ilw, ilwp, q, yfin, yfin_s,
+            degree=degree, inverse=True, interpret=interpret,
+            lazy=lazy_ok(dropped_moduli),
+        )
     _, _, inv_w, inv_wp, q, _, _ = _planes_cached(
         tuple(dropped_moduli), degree
     )
@@ -119,15 +132,20 @@ def inv_ntt_to_yhat(x_dropped_lo, dropped_moduli: tuple,
 
 
 def _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
-             yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-             n: int, r: int, c: int, n_dropped: int, lazy: bool):
+             yhat_ref, head_ref, t_ref, tw_refs, o_ref,
+             n: int, r: int, c: int, n_dropped: int, lazy: bool,
+             factored: bool):
+    if factored:
+        get_tw = _tw_from_factors(*tw_refs, n, r, c)
+    else:
+        get_tw = _tw_from_planes(*tw_refs, r, c)
     j = pl.program_id(0)
     q = q_ref[j, 0]
     ext = None
     for m in range(n_dropped):
         term = _harvey_mul(yhat_ref[0, m], c_ref[m, j], cs_ref[m, j], q)
         ext = term if ext is None else _add_mod(ext, term, q)
-    ext = _fwd_stages(ext, w_ref, wp_ref, q, n, r, c, lazy)
+    ext = _fwd_stages_tw(ext, get_tw, q, n, r, c, lazy)
     head = head_ref[0, 0]
     if t_ref is not None:
         tp = _harvey_mul(t_ref[0, 0], pm_ref[j, 0], pms_ref[j, 0], q)
@@ -137,19 +155,21 @@ def _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
 
 
 def _md_kernel_no_t(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
-                    yhat_ref, head_ref, w_ref, wp_ref, o_ref,
-                    *, n, r, c, n_dropped, lazy):
+                    yhat_ref, head_ref, *rest,
+                    n, r, c, n_dropped, lazy, factored):
+    *tw_refs, o_ref = rest
     _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
-             yhat_ref, head_ref, None, w_ref, wp_ref, o_ref,
-             n, r, c, n_dropped, lazy)
+             yhat_ref, head_ref, None, tw_refs, o_ref,
+             n, r, c, n_dropped, lazy, factored)
 
 
 def _md_kernel_t(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
-                 yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-                 *, n, r, c, n_dropped, lazy):
+                 yhat_ref, head_ref, t_ref, *rest,
+                 n, r, c, n_dropped, lazy, factored):
+    *tw_refs, o_ref = rest
     _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
-             yhat_ref, head_ref, t_ref, w_ref, wp_ref, o_ref,
-             n, r, c, n_dropped, lazy)
+             yhat_ref, head_ref, t_ref, tw_refs, o_ref,
+             n, r, c, n_dropped, lazy, factored)
 
 
 @functools.partial(
@@ -179,12 +199,13 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
     (c, cs, pmod, pmod_s, pinv, pinv_s, _, _, q_child) = _down_consts(
         tuple(child_moduli), tuple(dropped_moduli), degree, t_scale
     )
-    fwd_w, fwd_wp = _planes_cached(tuple(child_moduli), degree)[:2]
+    factored = _use_factored(degree)
 
     has_t = t is not None
     kernel = functools.partial(
         _md_kernel_t if has_t else _md_kernel_no_t,
         n=n, r=r, c=cdim, n_dropped=G, lazy=lazy_ok(child_moduli),
+        factored=factored,
     )
 
     smem = lambda shape: pl.BlockSpec(
@@ -201,6 +222,9 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
         (1, s_count, r, cdim), lambda j, o: (j, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    fac = lambda dim: pl.BlockSpec(
+        (1, s_count, dim), lambda j, o: (j, 0, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [
         smem(q_child.shape), smem(c.shape), smem(cs.shape),
         smem(pmod.shape), smem(pmod_s.shape),
@@ -211,9 +235,17 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
     if has_t:
         in_specs.append(per_ch())
         args.append(t.reshape(-1, Lc, r, cdim))
-    in_specs += [plane(), plane()]
-    args += [fwd_w.reshape(Lc, s_count, r, cdim),
-             fwd_wp.reshape(Lc, s_count, r, cdim)]
+    if factored:
+        frw, frwp, flw, flwp = _planes_factored_cached(
+            tuple(child_moduli), degree
+        )[:4]
+        in_specs += [fac(r), fac(r), fac(cdim), fac(cdim)]
+        args += [frw, frwp, flw, flwp]
+    else:
+        fwd_w, fwd_wp = _planes_cached(tuple(child_moduli), degree)[:2]
+        in_specs += [plane(), plane()]
+        args += [fwd_w.reshape(Lc, s_count, r, cdim),
+                 fwd_wp.reshape(Lc, s_count, r, cdim)]
 
     out = pl.pallas_call(
         kernel,

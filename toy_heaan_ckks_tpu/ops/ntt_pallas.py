@@ -294,6 +294,56 @@ def _inv_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
     return jnp.where(mask, total, t)
 
 
+def _fwd_stages_tw(x, tw_for_stage, q, n: int, r: int, c: int, lazy: bool):
+    """All forward butterfly stages on a VMEM-resident plane.
+
+    ``tw_for_stage(s)`` returns the stage's twiddle as a ``(rw, rwp, lw,
+    lwp)`` tuple (``lw is None`` -> single Harvey by ``rw``, which may be a
+    full (r, c) plane or an (r, 1) row factor). Shared by the fused
+    key-switch and mod-down kernels so both the expanded-plane (N <= 2^15)
+    and factored row x lane (N = 2^16) twiddle forms drive the same
+    butterfly arithmetic. Output canonical [0, q).
+    """
+    for s in range(n.bit_length() - 1):
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        tw = tw_for_stage(s)
+        if lazy:
+            x = _fwd_stage_lazy_tw(x, tw, q, axis, amount, mask)
+            continue
+        v_at_u = _shift(x, amount, axis)
+        u_at_v = _shift(x, -amount, axis)
+        operand = jnp.where(mask, v_at_u, x)
+        wv = _tw_mul(operand, tw, q, lazy=False)
+        x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+    if lazy:
+        x = _reduce_2q_q(x, q)  # canonical into whatever consumes the plane
+    return x
+
+
+def _tw_from_planes(w_ref, wp_ref, r: int, c: int):
+    """Stage-twiddle callback over expanded (1, S, r, c) plane refs."""
+    return lambda s: (
+        w_ref[0, s].reshape(r, c), wp_ref[0, s].reshape(r, c), None, None
+    )
+
+
+def _tw_from_factors(rw_ref, rwp_ref, lw_ref, lwp_ref, n: int, r: int,
+                     c: int):
+    """Stage-twiddle callback over factored (1, S, R)/(1, S, C) refs."""
+
+    def get(s):
+        rep = n >> s
+        rw = rw_ref[0, s].reshape(r, 1)
+        rwp = rwp_ref[0, s].reshape(r, 1)
+        if rep >= c:
+            return (rw, rwp, None, None)
+        return (rw, rwp, lw_ref[0, s].reshape(1, c),
+                lwp_ref[0, s].reshape(1, c))
+
+    return get
+
+
 @functools.lru_cache(maxsize=32)
 def _planes_factored_cached(moduli: tuple[int, ...], degree: int):
     """Factored per-stage twiddles + Shoup companions.

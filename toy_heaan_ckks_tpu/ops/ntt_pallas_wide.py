@@ -97,6 +97,12 @@ def _planes_cached_wide(moduli: tuple[int, ...], degree: int):
     return fwd_w, fwd_wp, inv_w, inv_wp, q_arr, ninv, ninvp
 
 
+def lazy_ok_wide(moduli) -> bool:
+    """Harvey lazy reduction on the 2-limb path needs the [0, 4q) stage
+    invariant to fit u64: all q < 2^62 (every 40/61/62-bit config)."""
+    return all(int(m) < (1 << 62) for m in moduli)
+
+
 def _harvey64(x, w, wp, q):
     """(x * w) mod q on u64 pairs: x any u64, w < q < 2^63. Out in [0, q)."""
     p = mul64_128(x, wp)
@@ -105,6 +111,13 @@ def _harvey64(x, w, wp, q):
     t2 = mullo64(h, q)
     r = sub64(t1, t2)  # in [0, 2q), 2q < 2^64
     return select64(geq64(r, q), sub64(r, q), r)
+
+
+def _harvey64_lazy(x, w, wp, q):
+    """Harvey modmul WITHOUT the final reduction: output in [0, 2q)."""
+    p = mul64_128(x, wp)
+    h = (p[2], p[3])
+    return sub64(mullo64(x, w), mullo64(h, q))
 
 
 def _add_mod64(a, b, q):
@@ -117,10 +130,48 @@ def _sub_mod64(a, b, q):
     return select64(geq64(a, b), d, add64(d, q))
 
 
+def _reduce_2q64(x, two_q):
+    """Conditional subtract of 2q: [0, 4q) -> [0, 2q)."""
+    return select64(geq64(x, two_q), sub64(x, two_q), x)
+
+
+def _reduce_4q_q64(x, q, two_q):
+    """[0, 4q) -> canonical [0, q)."""
+    x = _reduce_2q64(x, two_q)
+    return select64(geq64(x, q), sub64(x, q), x)
+
+
+def _fwd_stage_lazy64(x, tw, q, two_q, axis: int, amount: int, mask):
+    """Forward butterfly, Harvey-lazy on u64 pairs: [0, 4q) invariant,
+    q < 2^62. Only the 'u' operand of the add/sub is conditionally
+    brought below 2q; the twiddle multiply accepts any u64."""
+    xr = _reduce_2q64(x, two_q)  # < 2q
+    shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+    v_at_u = shift2(x, amount)  # partner (unreduced)
+    u_at_v = shift2(xr, -amount)  # reduced u at v positions
+    operand = select64(mask, v_at_u, x)
+    t = _tw_mul64(operand, tw, q, lazy=True)  # < 2q
+    return select64(
+        mask, add64(xr, t), sub64(add64(u_at_v, two_q), t)
+    )  # < 4q
+
+
+def _inv_stage_lazy64(x, tw, q, two_q, axis: int, amount: int, mask):
+    """Inverse (GS) butterfly, Harvey-lazy: [0, 2q) invariant."""
+    shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
+    v_at_u = shift2(x, amount)
+    u_at_v = shift2(x, -amount)
+    total = _reduce_2q64(add64(x, v_at_u), two_q)  # < 2q
+    diff = sub64(add64(u_at_v, two_q), x)  # < 4q
+    t = _tw_mul64(diff, tw, q, lazy=True)  # < 2q
+    return select64(mask, total, t)
+
+
 def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
-                     *, n: int, r: int, c: int, inverse: bool):
+                     *, n: int, r: int, c: int, inverse: bool, lazy: bool):
     ch = pl.program_id(0)
     q = (q_ref[ch, 0], q_ref[ch, 1])
+    two_q = add64(q, q)
     x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
     s_count = n.bit_length() - 1
     stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
@@ -129,6 +180,12 @@ def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
         axis, amount, mask = _butterfly_args(n, r, c, d)
         w = (w_ref[0, s, 0], w_ref[0, s, 1])
         wp = (wp_ref[0, s, 0], wp_ref[0, s, 1])
+        tw = (w, wp, None, None)
+        if lazy:
+            x = (_inv_stage_lazy64 if inverse else _fwd_stage_lazy64)(
+                x, tw, q, two_q, axis, amount, mask
+            )
+            continue
         shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
         v_at_u = shift2(x, amount)
         u_at_v = shift2(x, -amount)
@@ -144,9 +201,13 @@ def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
                 mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q)
             )
     if inverse:
+        # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
+        # canonicalises to [0, q) in both modes
         ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
         ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
         x = _harvey64(x, ninv, ninvp, q)
+    elif lazy:
+        x = _reduce_4q_q64(x, q, two_q)
     o_ref[0, 0, 0] = x[0]
     o_ref[0, 0, 1] = x[1]
 
@@ -239,38 +300,66 @@ def _planes_factored_cached_wide(moduli: tuple[int, ...], degree: int):
             inv_lwp, q_arr, ninv, ninvp)
 
 
-def _tw_mul64(x, tw, q):
-    """Multiply u64 pairs by a (possibly factored) twiddle; canonical out."""
+def _tw_mul64(x, tw, q, lazy: bool = False):
+    """Multiply u64 pairs by a (possibly factored) twiddle. Output in
+    [0, 2q) when ``lazy`` (final conditional subtract skipped), canonical
+    [0, q) otherwise."""
     rw, rwp, lw, lwp = tw
-    t = _harvey64(x, rw, rwp, q)
     if lw is None:
-        return t
-    return _harvey64(t, lw, lwp, q)
+        return (_harvey64_lazy if lazy else _harvey64)(x, rw, rwp, q)
+    t = _harvey64(x, rw, rwp, q)
+    return (_harvey64_lazy if lazy else _harvey64)(t, lw, lwp, q)
 
 
-def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
-                         lw_ref, lwp_ref, o_ref,
-                         *, n: int, r: int, c: int, inverse: bool):
-    ch = pl.program_id(0)
-    q = (q_ref[ch, 0], q_ref[ch, 1])
-    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
-    s_count = n.bit_length() - 1
-    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
-    for s in stage_order:
-        d = n >> (s + 1)
-        axis, amount, mask = _butterfly_args(n, r, c, d)
+def _tw_from_planes_wide(w_ref, wp_ref, r: int, c: int):
+    """Stage-twiddle callback over expanded (1, S, 2, r, c) plane refs."""
+    return lambda s: (
+        (w_ref[0, s, 0].reshape(r, c), w_ref[0, s, 1].reshape(r, c)),
+        (wp_ref[0, s, 0].reshape(r, c), wp_ref[0, s, 1].reshape(r, c)),
+        None, None,
+    )
+
+
+def _tw_from_factors_wide(rw_ref, rwp_ref, lw_ref, lwp_ref, n: int, r: int,
+                          c: int):
+    """Stage-twiddle callback over factored (1, S, 2, R)/(1, S, 2, C)
+    limb-pair refs."""
+
+    def get(s):
         rep = n >> s
         rw = (rw_ref[0, s, 0].reshape(r, 1), rw_ref[0, s, 1].reshape(r, 1))
         rwp = (rwp_ref[0, s, 0].reshape(r, 1),
                rwp_ref[0, s, 1].reshape(r, 1))
         if rep >= c:
-            tw = (rw, rwp, None, None)
-        else:
-            lw = (lw_ref[0, s, 0].reshape(1, c),
-                  lw_ref[0, s, 1].reshape(1, c))
-            lwp = (lwp_ref[0, s, 0].reshape(1, c),
-                   lwp_ref[0, s, 1].reshape(1, c))
-            tw = (rw, rwp, lw, lwp)
+            return (rw, rwp, None, None)
+        lw = (lw_ref[0, s, 0].reshape(1, c), lw_ref[0, s, 1].reshape(1, c))
+        lwp = (lwp_ref[0, s, 0].reshape(1, c),
+               lwp_ref[0, s, 1].reshape(1, c))
+        return (rw, rwp, lw, lwp)
+
+    return get
+
+
+def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
+                         lw_ref, lwp_ref, o_ref,
+                         *, n: int, r: int, c: int, inverse: bool,
+                         lazy: bool):
+    ch = pl.program_id(0)
+    q = (q_ref[ch, 0], q_ref[ch, 1])
+    two_q = add64(q, q)
+    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    get_tw = _tw_from_factors_wide(rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c)
+    s_count = n.bit_length() - 1
+    stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
+    for s in stage_order:
+        d = n >> (s + 1)
+        axis, amount, mask = _butterfly_args(n, r, c, d)
+        tw = get_tw(s)
+        if lazy:
+            x = (_inv_stage_lazy64 if inverse else _fwd_stage_lazy64)(
+                x, tw, q, two_q, axis, amount, mask
+            )
+            continue
         shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
         v_at_u = shift2(x, amount)
         u_at_v = shift2(x, -amount)
@@ -289,6 +378,8 @@ def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
         ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
         ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
         x = _harvey64(x, ninv, ninvp, q)
+    elif lazy:
+        x = _reduce_4q_q64(x, q, two_q)
     o_ref[0, 0, 0] = x[0]
     o_ref[0, 0, 1] = x[1]
 
@@ -315,7 +406,8 @@ def _ntt_factored_wide(data, moduli: tuple, degree: int, inverse: bool,
     s_count = n.bit_length() - 1
 
     kernel = functools.partial(
-        _ntt_kernel_fac_wide, n=n, r=r, c=c, inverse=inverse
+        _ntt_kernel_fac_wide, n=n, r=r, c=c, inverse=inverse,
+        lazy=lazy_ok_wide(moduli),
     )
     smem = lambda: pl.BlockSpec(
         (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
@@ -369,7 +461,8 @@ def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
     s_count = n.bit_length() - 1
 
     kernel = functools.partial(
-        _ntt_kernel_wide, n=n, r=r, c=c, inverse=inverse
+        _ntt_kernel_wide, n=n, r=r, c=c, inverse=inverse,
+        lazy=lazy_ok_wide(moduli),
     )
     smem = lambda: pl.BlockSpec(
         (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM

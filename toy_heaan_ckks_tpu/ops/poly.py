@@ -47,11 +47,13 @@ def _use_pallas(ctx: CkksContext) -> bool:
 
 
 def _use_pallas_fused(ctx: CkksContext) -> bool:
-    """Fused composite (key-switch / mod-down / fused-mult) eligibility:
-    the composite kernels run their NTT stages on fully expanded in-kernel
-    twiddle planes, which fit VMEM only to N = 2^15 (the standalone NTT
-    covers 2^16 via factored row x lane twiddles)."""
-    return _use_pallas(ctx) and ctx.degree <= (1 << 15)
+    """Fused composite (key-switch / mod-down / fused-mult) eligibility.
+
+    N <= 2^15 runs the composites' in-kernel NTT stages on fully expanded
+    twiddle planes; N = 2^16 switches those stages to the factored
+    row x lane twiddle form (one extra Harvey multiply per deep stage) so
+    the working set still fits VMEM."""
+    return _use_pallas(ctx) and ctx.degree <= (1 << 16)
 
 
 def _use_pallas_wide(ctx: CkksContext) -> bool:
@@ -66,9 +68,12 @@ def _use_pallas_wide(ctx: CkksContext) -> bool:
 
 
 def _use_pallas_wide_fused(ctx: CkksContext) -> bool:
-    """Wide fused composite eligibility (in-kernel expanded twiddle planes
-    fit VMEM only to N = 2^14 on the 2-limb path)."""
-    return _use_pallas_wide(ctx) and ctx.degree <= (1 << 14)
+    """Wide fused composite eligibility.
+
+    N <= 2^14 runs the composites' in-kernel NTT stages on fully expanded
+    2-limb twiddle planes; above that they switch to the factored
+    row x lane twiddle form so the working set still fits VMEM."""
+    return _use_pallas_wide(ctx) and ctx.degree <= (1 << 16)
 
 # ── Functional kernels (jitted; data = uint32 (..., L, 2, N) Montgomery) ────
 

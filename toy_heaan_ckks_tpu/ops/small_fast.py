@@ -19,7 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from ..context import CkksContext
-from .ntt_pallas import _planes_cached, _ntt_planes_call, lazy_ok
+from .ntt_pallas import (
+    _ntt_factored_call,
+    _ntt_planes_call,
+    _planes_cached,
+    _planes_factored_cached,
+    _use_factored,
+    lazy_ok,
+)
 from .u64 import umul32
 
 # ── lo-plane modular primitives (q, consts broadcast as (L, 1)) ─────────────
@@ -52,7 +59,21 @@ def mont_mul_lo(a, b, q, qinv):
 
 def ntt_lo(a_lo, moduli: tuple, degree: int, inverse: bool,
            interpret: bool = False):
-    """Fused Pallas NTT on bare lo planes (..., L, N)."""
+    """Fused Pallas NTT on bare lo planes (..., L, N).
+
+    N > 2^15 routes to the factored row x lane twiddle kernel (the
+    expanded per-stage planes exceed VMEM there)."""
+    if _use_factored(degree):
+        tabs = _planes_factored_cached(tuple(moduli), degree)
+        (frw, frwp, flw, flwp, irw, irwp, ilw, ilwp, q, ninv, ninvp) = tabs
+        rw, rwp, lw, lwp = (
+            (irw, irwp, ilw, ilwp) if inverse else (frw, frwp, flw, flwp)
+        )
+        return _ntt_factored_call(
+            a_lo, rw, rwp, lw, lwp, q, ninv, ninvp,
+            degree=degree, inverse=inverse, interpret=interpret,
+            lazy=lazy_ok(moduli),
+        )
     fwd_w, fwd_wp, inv_w, inv_wp, q, ninv, ninvp = _planes_cached(
         tuple(moduli), degree
     )
