@@ -49,6 +49,15 @@ WIDE_BITS = 61
 WIDE_BATCH = 8
 WIDE_ITERS = 64
 
+# third configuration: the top of the ring-degree envelope (factored
+# row x lane twiddles inside every fused composite kernel)
+BIG_DEGREE = 1 << 16
+BIG_PRIMES = 4
+BIG_BITS = 30
+BIG_DIGIT = 2
+BIG_BATCH = 4
+BIG_ITERS = 24
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _CPU_CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
 _WIDE_JNP_CACHE = os.path.join(_DIR, ".bench_wide_jnp.json")
@@ -305,6 +314,8 @@ def main():
     wide_sec = _measure(WIDE_DEGREE, WIDE_PRIMES, WIDE_BITS, 1,
                         batch=WIDE_BATCH, iters=WIDE_ITERS, warmup=WARMUP)
     wide_jnp = _wide_jnp_sec_per_mult()
+    big_sec = _measure(BIG_DEGREE, BIG_PRIMES, BIG_BITS, BIG_DIGIT,
+                       batch=BIG_BATCH, iters=BIG_ITERS, warmup=WARMUP)
     ntt = _measure_ntt_roofline()
 
     print(
@@ -326,6 +337,13 @@ def main():
                     "vs_staged_jnp": (
                         round(wide_jnp / wide_sec, 2) if wide_jnp else None
                     ),
+                },
+                "big": {
+                    "metric": (
+                        f"mults/s/chip @ N=2^16, L={BIG_PRIMES}x"
+                        f"{BIG_BITS}b, batch={BIG_BATCH} (factored twiddles)"
+                    ),
+                    "value": round(1.0 / big_sec, 2),
                 },
                 "ntt": ntt,
             }
