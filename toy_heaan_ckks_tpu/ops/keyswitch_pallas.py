@@ -111,7 +111,8 @@ def _switch_consts(base_moduli: tuple, ext_moduli: tuple, digit_size: int):
 
 def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
                n: int, r: int, c: int, num_digits: int,
-               digit_size: int, num_base: int, lazy: bool, factored: bool):
+               digit_size: int, num_base: int, lazy: bool, factored: bool,
+               j_offset: int = 0):
     if factored:
         rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref, o0_ref, o1_ref = (
             rest
@@ -120,7 +121,7 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
     else:
         w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
         get_tw = _tw_from_planes(w_ref, wp_ref, r, c)
-    j = pl.program_id(0)
+    j = pl.program_id(0) + j_offset
     q = q_ref[j, 0]
     qinv = qinv_ref[j, 0]
     acc0 = jnp.zeros((r, c), jnp.uint32)
@@ -142,6 +143,64 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
     o1_ref[0, 0] = acc1
 
 
+def _ks_kernel_base(q_ref, qinv_ref, c_ref, cs_ref, y_ref, d_ref, *rest,
+                    n: int, r: int, c: int, num_digits: int,
+                    digit_size: int, num_base: int, lazy: bool,
+                    factored: bool):
+    """Key-switch accumulation over the BASE channels (j < L), with the
+    skip-own-tower shortcut: for digit t's own-group channel j, the raised
+    digit is congruent to the switched polynomial d itself (the k != j
+    terms of the digit raise all carry q_j as a factor), so its forward
+    NTT is bit-identical to the NTT-resident input plane d_ref — one of
+    the ``num_digits`` per-channel NTTs is replaced by a key multiply on
+    d directly. Modular sums commute, so the result is bit-exact with
+    ``_ks_kernel``.
+    """
+    if factored:
+        rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref, o0_ref, o1_ref = (
+            rest
+        )
+        get_tw = _tw_from_factors(rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c)
+    else:
+        w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
+        get_tw = _tw_from_planes(w_ref, wp_ref, r, c)
+    j = pl.program_id(0)
+    q = q_ref[j, 0]
+    qinv = qinv_ref[j, 0]
+    own = j // digit_size  # this channel's digit (dynamic scalar)
+
+    def sel_plane(ref, idx):
+        out = ref[0, 0]
+        for t in range(1, num_digits):
+            out = jnp.where(idx == t, ref[t, 0], out)
+        return out
+
+    d = d_ref[0, 0]
+    acc0 = _mont_redc(d, sel_plane(kb_ref, own), q, qinv)
+    acc1 = _mont_redc(d, sel_plane(ka_ref, own), q, qinv)
+    if num_digits > 1:
+        terms = [
+            _harvey_mul(y_ref[0, k], c_ref[k, j], cs_ref[k, j], q)
+            for k in range(num_base)
+        ]
+        zero = jnp.zeros((r, c), jnp.uint32)
+        for tp in range(num_digits - 1):
+            td = jnp.where(tp < own, tp, tp + 1)  # tp-th non-own digit
+            x = None
+            for k in range(num_base):
+                term = jnp.where(k // digit_size == td, terms[k], zero)
+                x = term if x is None else _add_mod(x, term, q)
+            x = _fwd_stages_tw(x, get_tw, q, n, r, c, lazy)
+            acc0 = _add_mod(
+                acc0, _mont_redc(x, sel_plane(kb_ref, td), q, qinv), q
+            )
+            acc1 = _add_mod(
+                acc1, _mont_redc(x, sel_plane(ka_ref, td), q, qinv), q
+            )
+    o0_ref[0, 0] = acc0
+    o1_ref[0, 0] = acc1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -153,7 +212,8 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
                              base_moduli: tuple, ext_moduli: tuple,
                              degree: int, digit_size: int = 1,
                              interpret: bool = False,
-                             stack_limbs: bool = True):
+                             stack_limbs: bool = True,
+                             d_ntt=None):
     """Fused decompose + raise + NTT + key inner product (small chains).
 
     y_plain: uint32 (..., L, N) plain coeff-domain yhat values (already
@@ -161,6 +221,13 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     key_a/key_b: uint32 (D, E, 2, N) Montgomery NTT-domain key stacks.
     digit_size: the key's stored decomposition width (D must equal
              len(digit_groups(L, digit_size))).
+    d_ntt: optional uint32 (..., L, N) NTT-domain Montgomery lo planes of
+             the polynomial being switched (whose inverse NTT produced
+             y_plain). When given, the base channels take the
+             skip-own-tower path (``_ks_kernel_base``): L of the E*D
+             per-element forward NTTs are replaced by direct key products
+             on these already-transformed planes — bit-exact, the raised
+             own-group digit IS the input polynomial mod its own primes.
     Returns (ks0, ks1): uint32 (..., E, 2, N) Montgomery NTT-domain digit
     inner products over QP (before the P mod-down).
     """
@@ -183,23 +250,23 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     ka = key_a[..., 0, :].reshape(D, E, r, c)
     kb = key_b[..., 0, :].reshape(D, E, r, c)
 
-    kernel = functools.partial(
-        _ks_kernel, n=n, r=r, c=c, num_digits=D,
-        digit_size=digit_size, num_base=L, lazy=lazy_ok(ext_moduli),
-        factored=factored,
-    )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
     )
-    plane = lambda: pl.BlockSpec(
-        (1, s_count, r, c), lambda j, o: (j, 0, 0, 0),
+    plane = lambda off: pl.BlockSpec(
+        (1, s_count, r, c), lambda j, o: (j + off, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    fac = lambda dim: pl.BlockSpec(
-        (1, s_count, dim), lambda j, o: (j, 0, 0), memory_space=pltpu.VMEM
+    fac = lambda dim, off: pl.BlockSpec(
+        (1, s_count, dim), lambda j, o: (j + off, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    key_spec = lambda: pl.BlockSpec(
-        (D, 1, r, c), lambda j, o: (0, j, 0, 0), memory_space=pltpu.VMEM
+    key_spec = lambda off: pl.BlockSpec(
+        (D, 1, r, c), lambda j, o: (0, j + off, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y_spec = pl.BlockSpec(
+        (1, L, r, c), lambda j, o: (o, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, 1, r, c), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
@@ -208,36 +275,60 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
         frw, frwp, flw, flwp = _planes_factored_cached(
             tuple(ext_moduli), n
         )[:4]
-        tw_specs = [fac(r), fac(r), fac(c), fac(c)]
+        tw_specs = lambda off: [fac(r, off), fac(r, off), fac(c, off),
+                                fac(c, off)]
         tw_args = [frw, frwp, flw, flwp]
     else:
         fwd_w, fwd_wp = _planes_cached(tuple(ext_moduli), n)[:2]
-        tw_specs = [plane(), plane()]
+        tw_specs = lambda off: [plane(off), plane(off)]
         tw_args = [fwd_w.reshape(E, s_count, r, c),
                    fwd_wp.reshape(E, s_count, r, c)]
-    ks0, ks1 = pl.pallas_call(
-        kernel,
-        grid=(E, outer),
-        in_specs=[
-            smem((E, 1)),
-            smem((E, 1)),
-            smem(cst.shape),
-            smem(cst_s.shape),
-            pl.BlockSpec(
-                (1, L, r, c), lambda j, o: (o, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+
+    common = dict(
+        n=n, r=r, c=c, num_digits=D, digit_size=digit_size, num_base=L,
+        lazy=lazy_ok(ext_moduli), factored=factored,
+    )
+
+    def call(kernel, n_ch: int, off: int, extra_specs, extra_args):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_ch, outer),
+            in_specs=[
+                smem((E, 1)), smem((E, 1)),
+                smem(cst.shape), smem(cst_s.shape),
+                y_spec, *extra_specs, *tw_specs(off),
+                key_spec(off), key_spec(off),
+            ],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((outer, n_ch, r, c), jnp.uint32),
+                jax.ShapeDtypeStruct((outer, n_ch, r, c), jnp.uint32),
             ),
-            *tw_specs,
-            key_spec(),
-            key_spec(),
-        ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((outer, E, r, c), jnp.uint32),
-            jax.ShapeDtypeStruct((outer, E, r, c), jnp.uint32),
-        ),
-        interpret=interpret,
-    )(q, qinv, cst, cst_s, y, *tw_args, ka, kb)
+            interpret=interpret,
+        )(q, qinv, cst, cst_s, y, *extra_args, *tw_args, ka, kb)
+
+    if d_ntt is None:
+        ks0, ks1 = call(
+            functools.partial(_ks_kernel, **common), E, 0, [], []
+        )
+    else:
+        d = d_ntt.reshape(-1, L, r, c)
+        d_spec = pl.BlockSpec(
+            (1, 1, r, c), lambda j, o: (o, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        b0, b1 = call(
+            functools.partial(_ks_kernel_base, **common), L, 0,
+            [d_spec], [d],
+        )
+        s0, s1 = call(
+            functools.partial(_ks_kernel, **common, j_offset=L),
+            E - L, L, [], [],
+        )
+        # XLA folds the slice-of-concat consumers back to the operands,
+        # so the concatenated stack is not materialised on the hot path
+        ks0 = jnp.concatenate([b0, s0], axis=1)
+        ks1 = jnp.concatenate([b1, s1], axis=1)
 
     def finish(x):
         x = x.reshape(*lead, E, n)

@@ -145,7 +145,7 @@ def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
                     y_ref, *rest,
                     n: int, r: int, c: int, num_digits: int,
                     digit_size: int, num_base: int, factored: bool,
-                    lazy: bool):
+                    lazy: bool, j_offset: int = 0):
     if factored:
         (rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref,
          o0_ref, o1_ref) = rest
@@ -155,7 +155,7 @@ def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
     else:
         w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
         get_tw = _tw_from_planes_wide(w_ref, wp_ref, r, c)
-    j = pl.program_id(0)
+    j = pl.program_id(0) + j_offset
     q = (q_ref[j, 0], q_ref[j, 1])
     qinv = (qinv_ref[j, 0], qinv_ref[j, 1])
     zero = jnp.zeros((r, c), jnp.uint32)
@@ -181,6 +181,67 @@ def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
     o1_ref[0, 0, 0], o1_ref[0, 0, 1] = acc1
 
 
+def _ks_kernel_wide_base(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref,
+                         cshi_ref, y_ref, d_ref, *rest,
+                         n: int, r: int, c: int, num_digits: int,
+                         digit_size: int, num_base: int, factored: bool,
+                         lazy: bool):
+    """Wide accumulate over BASE channels with the skip-own-tower
+    shortcut (see keyswitch_pallas._ks_kernel_base): digit ``j //
+    digit_size``'s raised NTT in channel j is bit-identical to the
+    NTT-resident input plane d_ref, so only ``num_digits - 1`` forward
+    NTTs run per grid step."""
+    if factored:
+        (rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref,
+         o0_ref, o1_ref) = rest
+        get_tw = _tw_from_factors_wide(
+            rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c
+        )
+    else:
+        w_ref, wp_ref, ka_ref, kb_ref, o0_ref, o1_ref = rest
+        get_tw = _tw_from_planes_wide(w_ref, wp_ref, r, c)
+    j = pl.program_id(0)
+    q = (q_ref[j, 0], q_ref[j, 1])
+    qinv = (qinv_ref[j, 0], qinv_ref[j, 1])
+    own = j // digit_size
+
+    def sel_plane(ref, idx):
+        out = (ref[0, 0, 0], ref[0, 0, 1])
+        for t in range(1, num_digits):
+            hit = idx == t
+            out = (jnp.where(hit, ref[t, 0, 0], out[0]),
+                   jnp.where(hit, ref[t, 0, 1], out[1]))
+        return out
+
+    d = (d_ref[0, 0, 0], d_ref[0, 0, 1])
+    acc0 = _redc64(d, sel_plane(kb_ref, own), q, qinv)
+    acc1 = _redc64(d, sel_plane(ka_ref, own), q, qinv)
+    if num_digits > 1:
+        terms = []
+        for k in range(num_base):
+            yk = (y_ref[0, k, 0], y_ref[0, k, 1])
+            cw = (clo_ref[k, j], chi_ref[k, j])
+            cwp = (cslo_ref[k, j], cshi_ref[k, j])
+            terms.append(_harvey64(yk, cw, cwp, q))
+        zero = jnp.zeros((r, c), jnp.uint32)
+        zz = (zero, zero)
+        for tp in range(num_digits - 1):
+            td = jnp.where(tp < own, tp, tp + 1)
+            x = None
+            for k in range(num_base):
+                term = select64(k // digit_size == td, terms[k], zz)
+                x = term if x is None else _add_mod64(x, term, q)
+            x = _fwd_stages_wide(x, get_tw, q, n, r, c, lazy)
+            acc0 = _add_mod64(
+                acc0, _redc64(x, sel_plane(kb_ref, td), q, qinv), q
+            )
+            acc1 = _add_mod64(
+                acc1, _redc64(x, sel_plane(ka_ref, td), q, qinv), q
+            )
+    o0_ref[0, 0, 0], o0_ref[0, 0, 1] = acc0
+    o1_ref[0, 0, 0], o1_ref[0, 0, 1] = acc1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -190,11 +251,16 @@ def _ks_kernel_wide(q_ref, qinv_ref, clo_ref, chi_ref, cslo_ref, cshi_ref,
 def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
                                   base_moduli: tuple, ext_moduli: tuple,
                                   degree: int, digit_size: int = 1,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  d_ntt=None):
     """Fused decompose + raise + NTT + key inner product (wide chains).
 
     y_plain: uint32 (..., L, 2, N) plain coeff-domain yhat values.
     key_a/key_b: uint32 (D, E, 2, N) Montgomery NTT-domain key stacks.
+    d_ntt: optional uint32 (..., L, 2, N) NTT-domain Montgomery limb
+    planes of the switched polynomial; when given, the base channels run
+    the skip-own-tower kernel (L of the E*D forward NTTs replaced by
+    direct key products — bit-exact).
     Returns (ks0, ks1): uint32 (..., E, 2, N) Montgomery NTT-domain digit
     inner products over QP (before the P mod-down).
     """
@@ -217,24 +283,27 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
     ka = key_a.reshape(D, E, 2, r, c)
     kb = key_b.reshape(D, E, 2, r, c)
 
-    kernel = functools.partial(
-        _ks_kernel_wide, n=n, r=r, c=c, num_digits=D,
-        digit_size=digit_size, num_base=L, factored=factored,
-        lazy=lazy_ok_wide(ext_moduli),
+    common = dict(
+        n=n, r=r, c=c, num_digits=D, digit_size=digit_size, num_base=L,
+        factored=factored, lazy=lazy_ok_wide(ext_moduli),
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0,) * len(shape), memory_space=pltpu.SMEM
     )
-    plane = lambda: pl.BlockSpec(
-        (1, s_count, 2, r, c), lambda j, o: (j, 0, 0, 0, 0),
+    plane = lambda off: pl.BlockSpec(
+        (1, s_count, 2, r, c), lambda j, o: (j + off, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    fac = lambda dim: pl.BlockSpec(
-        (1, s_count, 2, dim), lambda j, o: (j, 0, 0, 0),
+    fac = lambda dim, off: pl.BlockSpec(
+        (1, s_count, 2, dim), lambda j, o: (j + off, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    key_spec = lambda: pl.BlockSpec(
-        (D, 1, 2, r, c), lambda j, o: (0, j, 0, 0, 0),
+    key_spec = lambda off: pl.BlockSpec(
+        (D, 1, 2, r, c), lambda j, o: (0, j + off, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y_spec = pl.BlockSpec(
+        (1, L, 2, r, c), lambda j, o: (o, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
@@ -245,38 +314,55 @@ def gadget_accumulate_pallas_wide(y_plain, key_a, key_b, *,
         frw, frwp, flw, flwp = _planes_factored_cached_wide(
             tuple(ext_moduli), n
         )[:4]
-        tw_specs = [fac(r), fac(r), fac(c), fac(c)]
+        tw_specs = lambda off: [fac(r, off), fac(r, off), fac(c, off),
+                                fac(c, off)]
         tw_args = [frw, frwp, flw, flwp]
     else:
         fwd_w, fwd_wp = _planes_cached_wide(tuple(ext_moduli), n)[:2]
-        tw_specs = [plane(), plane()]
+        tw_specs = lambda off: [plane(off), plane(off)]
         tw_args = [fwd_w.reshape(E, s_count, 2, r, c),
                    fwd_wp.reshape(E, s_count, 2, r, c)]
-    ks0, ks1 = pl.pallas_call(
-        kernel,
-        grid=(E, outer),
-        in_specs=[
-            smem(q.shape),
-            smem(qinv.shape),
-            smem(c_lo.shape),
-            smem(c_hi.shape),
-            smem(cs_lo.shape),
-            smem(cs_hi.shape),
-            pl.BlockSpec(
-                (1, L, 2, r, c), lambda j, o: (o, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+
+    def call(kernel, n_ch: int, off: int, extra_specs, extra_args):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_ch, outer),
+            in_specs=[
+                smem(q.shape), smem(qinv.shape),
+                smem(c_lo.shape), smem(c_hi.shape),
+                smem(cs_lo.shape), smem(cs_hi.shape),
+                y_spec, *extra_specs, *tw_specs(off),
+                key_spec(off), key_spec(off),
+            ],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((outer, n_ch, 2, r, c), jnp.uint32),
+                jax.ShapeDtypeStruct((outer, n_ch, 2, r, c), jnp.uint32),
             ),
-            *tw_specs,
-            key_spec(),
-            key_spec(),
-        ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((outer, E, 2, r, c), jnp.uint32),
-            jax.ShapeDtypeStruct((outer, E, 2, r, c), jnp.uint32),
-        ),
-        interpret=interpret,
-    )(q, qinv, c_lo, c_hi, cs_lo, cs_hi, y, *tw_args, ka, kb)
+            interpret=interpret,
+        )(q, qinv, c_lo, c_hi, cs_lo, cs_hi, y, *extra_args, *tw_args,
+          ka, kb)
+
+    if d_ntt is None:
+        ks0, ks1 = call(
+            functools.partial(_ks_kernel_wide, **common), E, 0, [], []
+        )
+    else:
+        d = d_ntt.reshape(-1, L, 2, r, c)
+        d_spec = pl.BlockSpec(
+            (1, 1, 2, r, c), lambda j, o: (o, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        b0, b1 = call(
+            functools.partial(_ks_kernel_wide_base, **common), L, 0,
+            [d_spec], [d],
+        )
+        s0, s1 = call(
+            functools.partial(_ks_kernel_wide, **common, j_offset=L),
+            E - L, L, [], [],
+        )
+        ks0 = jnp.concatenate([b0, s0], axis=1)
+        ks1 = jnp.concatenate([b1, s1], axis=1)
 
     def finish(x):
         return x.reshape(*lead, E, 2, n)

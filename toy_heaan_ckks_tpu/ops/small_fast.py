@@ -159,7 +159,7 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, digit_size=plan.digit_size,
-        interpret=interpret, stack_limbs=False,
+        interpret=interpret, stack_limbs=False, d_ntt=t2,
     )
 
     from .moddown_pallas import inv_ntt_to_yhat, mod_down_combine_pallas
@@ -210,7 +210,7 @@ def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, digit_size=plan.digit_size,
-        interpret=interpret, stack_limbs=False,
+        interpret=interpret, stack_limbs=False, d_ntt=d,
     )
 
     def down(ks):

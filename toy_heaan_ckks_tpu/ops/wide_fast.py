@@ -59,6 +59,7 @@ def mul_relin_rescale_wide(c0a, c1a, c0b, c1b, key_a, key_b,
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, digit_size=plan.digit_size, interpret=interpret,
+        d_ntt=t2,
     )
 
     p_mont, _ = _combined_down_consts(ctx.moduli, ext_ctx.moduli)
@@ -110,6 +111,7 @@ def key_switch_wide(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
         degree=ctx.degree, digit_size=plan.digit_size, interpret=interpret,
+        d_ntt=d,
     )
 
     def down(ks):
