@@ -4,10 +4,13 @@ rotations (beyond-reference showcase).
 y = M @ x on an ENCRYPTED x: with d_j the j-th generalized diagonal of M
 (d_j[i] = M[i, (i+j) mod n]), y = sum_j d_j * rot_j(x). All n-1 rotations
 apply to the SAME ciphertext, so one hoisted gadget decomposition serves
-every key (CkksEngine.rotate_hoisted) — the per-rotation cost drops from
-a full key switch (L + D*E channel-NTTs) to a slot gather + pointwise key
-product + mod-down. The reference has no matrix workloads and pays the
-full key switch per rotation (engine.rs:429-452).
+every key, and the whole weighted sum shares ONE P mod-down
+(CkksEngine.rotate_weighted_sum_hoisted, double hoisting: the diagonals
+are encoded over the extended key basis and multiplied before the
+mod-down) — the per-rotation cost drops from a full key switch
+(L + D*E channel-NTTs) to a slot gather + two pointwise products. The
+reference has no matrix workloads and pays the full key switch per
+rotation (engine.rs:429-452).
 
 Acceptance: max |y_enc - M @ x| <= 1e-3 over all slots; exit 1 otherwise.
 """
@@ -47,17 +50,19 @@ def main():
 
     ct = engine.encrypt(encoder.encode(x, ctx), pk, ctx.total_bits(), rng)
 
-    # ONE hoisted decomposition -> all SLOTS-1 rotations of ct
-    rotated = CkksEngine.rotate_hoisted(ct, rot_keys)
+    # ONE hoisted decomposition AND one shared mod-down for all SLOTS-1
+    # weighted rotations (double hoisting): the diagonal plaintexts are
+    # encoded over the keys' extended basis so the weight multiply
+    # happens before the single P mod-down.
+    def diag(j):
+        return np.array([M[i, (i + j) % SLOTS] for i in range(SLOTS)])
 
-    def diag_pt(j):
-        d = np.array([M[i, (i + j) % SLOTS] for i in range(SLOTS)])
-        return encoder.encode(d, ctx)
-
-    acc = CkksEngine.mul_plain(ct, diag_pt(0))
-    for j in range(1, SLOTS):
-        term = CkksEngine.mul_plain(rotated[j - 1], diag_pt(j))
-        acc = CkksEngine.add_ciphertexts(acc, term)
+    ext_ctx = rot_keys[0].ext_ctx
+    pts_ext = [encoder.encode(diag(j), ext_ctx) for j in range(1, SLOTS)]
+    acc = CkksEngine.rotate_weighted_sum_hoisted(ct, rot_keys, pts_ext)
+    acc = CkksEngine.add_ciphertexts(
+        acc, CkksEngine.mul_plain(ct, encoder.encode(diag(0), ctx))
+    )
     acc = CkksEngine.rescale_ciphertext(acc)
 
     out = encoder.decode(CkksEngine.decrypt(acc, sk.reduce_to(acc.ctx)))

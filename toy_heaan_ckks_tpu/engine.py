@@ -419,6 +419,96 @@ def _hoisted_rotate_core(c0, c1, perms, keys_a_inv, keys_b_inv,
 
 
 @functools.partial(jax.jit, static_argnames=("digit_size",))
+def _hoisted_rotate_sum_core(c0, c1, perms, keys_a_inv, keys_b_inv,
+                             ctx: CkksContext, ext_ctx: CkksContext,
+                             digit_size: int, weights=None):
+    """Double-hoisted rotation sum: sum_i w_i * rot_i(ct) with ONE gadget
+    decomposition AND ONE P mod-down.
+
+    Extends ``_hoisted_rotate_core``: the per-rotation mod-down commutes
+    with NTT-domain automorphisms and distributes over the sum, so the
+    per-rotation accumulators stay in the extended basis QP, the
+    permutation gathers apply there, and a single mod-down divides the
+    whole sum by P — collapsing the (g' + L) * 2 channel-NTTs *per
+    rotation* into one shared pass (the Lattigo/Halevi-Shoup
+    "double hoisting" refinement). c0's contribution is folded in as
+    c0 * P on the base channels, so moddown(sum) = sum_i perm_i(c0) +
+    moddown(sum_i perm_i(ks0_i)) exactly. The reference performs a full
+    key switch per rotation (engine.rs:429-452).
+
+    perms: int32 (m, N) forward NTT-domain permutations; keys_*_inv:
+    (m, D, E, 2, N) inverse-permuted keys. ``weights`` (optional):
+    (m, E, 2, N) Montgomery NTT-domain plaintext planes over the
+    EXTENDED basis — each rotation's output is pointwise-multiplied by
+    its weight before the sum (the diagonal-method matrix-vector
+    product, one mod-down for the whole product). Returns (out0, out1):
+    single summed ciphertext components (L, 2, N).
+    """
+    _check_key_compat(ctx, keys_a_inv[0], digit_size)
+    plan = _switch_plan(ctx.moduli, ext_ctx.moduli, digit_size)
+    alpha_ntt = _decompose_alpha(c1, ctx, ext_ctx, plan)
+    p_mont = _combined_down_consts(ctx.moduli, ext_ctx.moduli)[0]
+    L = c0.shape[-3]
+    m = perms.shape[0]
+
+    if pops._use_pallas_fused(ext_ctx):
+        from .ops import small_fast as sf
+
+        lo = lambda x: x[..., 0, :]
+        qe, qeinv = ext_ctx.chain.q[:, 0], ext_ctx.chain.qinv[:, 0]
+        a_lo = lo(alpha_ntt)
+        p0 = sf.mont_mul_lo(a_lo, lo(keys_b_inv), qe, qeinv)  # (m,D,E,N)
+        p1 = sf.mont_mul_lo(a_lo, lo(keys_a_inv), qe, qeinv)
+        red = lambda p: functools.reduce(
+            lambda x, y: sf.add_lo(x, y, qe),
+            [p[:, t] for t in range(p.shape[1])],
+        )
+        ks0, ks1 = red(p0), red(p1)  # (m, E, N)
+        c0p = sf.mont_mul_lo(lo(c0), lo(p_mont), qe[:L], qeinv[:L])
+        ks0 = ks0.at[..., :L, :].set(
+            sf.add_lo(ks0[..., :L, :], c0p, qe[:L])
+        )
+
+        def gsum(ks):
+            out = None
+            for i in range(m):
+                g = jnp.take(ks[i], perms[i], axis=-1)
+                if weights is not None:
+                    g = sf.mont_mul_lo(g, lo(weights[i]), qe, qeinv)
+                out = g if out is None else sf.add_lo(out, g, qe)
+            return out
+
+        o0 = sf.mod_down_lo(gsum(ks0), ctx, ext_ctx, plan)
+        o1 = sf.mod_down_lo(gsum(ks1), ctx, ext_ctx, plan)
+        stack2 = lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=-2)
+        return stack2(o0), stack2(o1)
+
+    ks0 = _mod_sum(
+        mm.mont_mul(alpha_ntt, keys_b_inv, ext_ctx.chain), ext_ctx.chain
+    )
+    ks1 = _mod_sum(
+        mm.mont_mul(alpha_ntt, keys_a_inv, ext_ctx.chain), ext_ctx.chain
+    )
+    c0p = mm.mont_mul(c0, p_mont, ctx.chain)
+    ks0 = ks0.at[..., :L, :, :].set(
+        mm.add_mod(ks0[..., :L, :, :], c0p, ctx.chain)
+    )
+
+    def gsum(ks):
+        out = None
+        for i in range(m):
+            g = jnp.take(ks[i], perms[i], axis=-1)
+            if weights is not None:
+                g = mm.mont_mul(g, weights[i], ext_ctx.chain)
+            out = g if out is None else mm.add_mod(out, g, ext_ctx.chain)
+        return out
+
+    o0 = _mod_down_dispatch(gsum(ks0), ctx, ext_ctx, plan)
+    o1 = _mod_down_dispatch(gsum(ks1), ctx, ext_ctx, plan)
+    return o0, o1
+
+
+@functools.partial(jax.jit, static_argnames=("digit_size",))
 def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext,
                      ext_ctx: CkksContext, digit_size: int):
     """Fused tensor product + gadget relinearization (all NTT domain)."""
@@ -719,16 +809,10 @@ class CkksEngine:
         )
 
     @staticmethod
-    def rotate_hoisted(
-        ct: Ciphertext, rotks
-    ) -> list[Ciphertext]:
-        """Rotate one ciphertext by MANY offsets with a single hoisted
-        gadget decomposition (see ``_hoisted_rotate_core``). All keys must
-        share the extended basis and digit_size. Returns outputs in the
-        order of ``rotks``."""
-        rotks = list(rotks)
-        if not rotks:
-            return []
+    def _hoist_prep(ct: Ciphertext, rotks):
+        """Shared hoisting prep: forward NTT-domain permutations and
+        inverse-permuted key stacks (cached on each key object). All keys
+        must share the extended basis and digit_size."""
         ext_ctx = rotks[0].ext_ctx
         ds = rotks[0].digit_size
         for k in rotks[1:]:
@@ -736,7 +820,8 @@ class CkksEngine:
                 from .errors import CkksError
 
                 raise CkksError(
-                    "rotate_hoisted: keys must share ext basis + digit_size"
+                    "hoisted rotation: keys must share ext basis + "
+                    "digit_size"
                 )
         ctx = ct.ctx
         half = ctx.degree // 2
@@ -763,6 +848,23 @@ class CkksEngine:
         pairs = [inv_keys(k) for k in rotks]
         keys_a = jnp.stack([p[0] for p in pairs])
         keys_b = jnp.stack([p[1] for p in pairs])
+        return perms, keys_a, keys_b, ext_ctx, ds
+
+    @staticmethod
+    def rotate_hoisted(
+        ct: Ciphertext, rotks
+    ) -> list[Ciphertext]:
+        """Rotate one ciphertext by MANY offsets with a single hoisted
+        gadget decomposition (see ``_hoisted_rotate_core``). All keys must
+        share the extended basis and digit_size. Returns outputs in the
+        order of ``rotks``."""
+        rotks = list(rotks)
+        if not rotks:
+            return []
+        ctx = ct.ctx
+        perms, keys_a, keys_b, ext_ctx, ds = CkksEngine._hoist_prep(
+            ct, rotks
+        )
         out0, out1 = _hoisted_rotate_core(
             ct.c0.to_ntt_domain().data,
             ct.c1.to_ntt_domain().data,
@@ -778,6 +880,85 @@ class CkksEngine:
             )
             for i in range(len(rotks))
         ]
+
+    @staticmethod
+    def rotate_sum_hoisted(ct: Ciphertext, rotks) -> Ciphertext:
+        """sum_i rotate(ct, k_i) with ONE gadget decomposition and ONE
+        P mod-down (double hoisting — see ``_hoisted_rotate_sum_core``).
+        Per-rotation cost collapses to a pointwise key product plus one
+        extended-basis slot gather. Decode-equal to summing
+        ``rotate_hoisted`` outputs within key-switch noise."""
+        rotks = list(rotks)
+        if not rotks:
+            raise ValueError("rotate_sum_hoisted: need at least one key")
+        ctx = ct.ctx
+        perms, keys_a, keys_b, ext_ctx, ds = CkksEngine._hoist_prep(
+            ct, rotks
+        )
+        out0, out1 = _hoisted_rotate_sum_core(
+            ct.c0.to_ntt_domain().data,
+            ct.c1.to_ntt_domain().data,
+            perms, keys_a, keys_b, ctx, ext_ctx, digit_size=ds,
+        )
+        return Ciphertext(
+            c0=Poly(out0, ctx, True),
+            c1=Poly(out1, ctx, True),
+            logp=ct.logp,
+            logq=ct.logq,
+            scale=ct.scale,
+        )
+
+    @staticmethod
+    def rotate_weighted_sum_hoisted(
+        ct: Ciphertext, rotks, pts_ext
+    ) -> Ciphertext:
+        """sum_i pt_i * rotate(ct, k_i) with ONE gadget decomposition and
+        ONE P mod-down — the double-hoisted diagonal-method matrix-vector
+        product. ``pts_ext``: one Plaintext per key, encoded over the
+        keys' EXTENDED basis (``encoder.encode(diag, rotk.ext_ctx)``) so
+        the weight multiply can happen before the shared mod-down; all
+        must share scale_bits. Follow with ``rescale_ciphertext`` as for
+        ``mul_plain``."""
+        from .errors import CkksError
+
+        rotks = list(rotks)
+        pts_ext = list(pts_ext)
+        if not rotks or len(rotks) != len(pts_ext):
+            raise ValueError(
+                "rotate_weighted_sum_hoisted: need one plaintext per key"
+            )
+        ctx = ct.ctx
+        perms, keys_a, keys_b, ext_ctx, ds = CkksEngine._hoist_prep(
+            ct, rotks
+        )
+        sb = pts_ext[0].scale_bits
+        for pt in pts_ext:
+            if pt.poly.ctx.moduli != ext_ctx.moduli:
+                raise CkksError(
+                    "rotate_weighted_sum_hoisted: plaintexts must be "
+                    "encoded over the keys' extended basis"
+                )
+            if pt.scale_bits != sb:
+                raise CkksError(
+                    "rotate_weighted_sum_hoisted: plaintext scales differ"
+                )
+        weights = jnp.stack(
+            [pt.poly.to_ntt_domain().data for pt in pts_ext]
+        )
+        out0, out1 = _hoisted_rotate_sum_core(
+            ct.c0.to_ntt_domain().data,
+            ct.c1.to_ntt_domain().data,
+            perms, keys_a, keys_b, ctx, ext_ctx, digit_size=ds,
+            weights=weights,
+        )
+        pt_scale = pts_ext[0].true_scale
+        return Ciphertext(
+            c0=Poly(out0, ctx, True),
+            c1=Poly(out1, ctx, True),
+            logp=ct.logp + sb,
+            logq=ct.logq,
+            scale=ct.true_scale * pt_scale,
+        )
 
     # ── plaintext multiplication (extensions required by specs/ctx.md) ───
 

@@ -49,24 +49,22 @@ def sum_slots(ct: Ciphertext, ladder: KeyLadder, slots: int) -> Ciphertext:
 
 
 def sum_slots_hoisted(ct: Ciphertext, rot_keys) -> Ciphertext:
-    """Slot-sum via hoisted rotations: sum_j rot_j(ct), j = 1..slots-1,
-    sharing ONE gadget decomposition of c1.
+    """Slot-sum via double-hoisted rotations: ct + sum_j rot_j(ct),
+    j = 1..slots-1, sharing ONE gadget decomposition of c1 AND one P
+    mod-down for the whole sum.
 
     ``rot_keys``: rotation keys for every offset 1..slots-1 (same ext
     basis + digit_size). Trades the binary tree's log2(slots) full
     key-switches (each paying the L + D*E channel-NTT decomposition,
-    sequentially dependent) for slots-1 cheap hoisted applications of one
-    decomposition — fewer total channel-NTTs whenever
-    (slots-2) * moddown_NTTs < (log2(slots)-1) * (decompose+moddown)_NTTs,
-    and far better latency (one batched kernel chain, no sequential
+    sequentially dependent) for slots-1 pointwise key products + gathers
+    in the extended basis and a single shared decomposition + mod-down —
+    a fixed channel-NTT budget independent of the rotation count, and
+    far better latency (one batched kernel chain, no sequential
     dependency). Level-free; decode-equal to the tree within key-switch
-    noise (not residue-equal — see engine._hoisted_rotate_core).
+    noise (not residue-equal — see engine._hoisted_rotate_sum_core).
     """
-    rotated = CkksEngine.rotate_hoisted(ct, rot_keys)
-    acc = ct
-    for r in rotated:
-        acc = CkksEngine.add_ciphertexts(acc, r)
-    return acc
+    rotated_sum = CkksEngine.rotate_sum_hoisted(ct, rot_keys)
+    return CkksEngine.add_ciphertexts(ct, rotated_sum)
 
 
 def align_level(
