@@ -40,6 +40,7 @@ def main():
     from toy_heaan_ckks_tpu.engine import (
         _gadget_key_switch,
         _hoisted_rotate_core,
+        _hoisted_rotate_sum_core,
     )
     from toy_heaan_ckks_tpu.math.sampling import make_rng
     from toy_heaan_ckks_tpu.ops import modular as mm
@@ -100,6 +101,18 @@ def main():
 
         return jax.lax.fori_loop(0, n_iters, body, (c0x, c1x))
 
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def hoist_sum(c0x, c1x, ka, kb, n_iters):
+        # double hoisting: one decomposition AND one mod-down per SUM
+        def body(i, carry):
+            cc0, cc1 = carry
+            cc0 = cc0.at[0, 0, 0].set(c0x[0, 0, 0])
+            return _hoisted_rotate_sum_core(
+                cc0, cc1, perms, ka, kb, ctx, ext_ctx, digit_size=ds
+            )
+
+        return jax.lax.fori_loop(0, n_iters, body, (c0x, c1x))
+
     m_seq = 3  # smaller unroll for the sequential arm (remote-compile
     # request size limit at digit_size=1); per-rotation cost is unchanged
 
@@ -117,9 +130,12 @@ def main():
 
     per_seq = measure(seq, per=m_seq)
     per_hoist = measure(hoist, extra=(keys_a, keys_b))
-    print(f"per-rotation (sequential key switch): {per_seq*1e6:.1f} us")
-    print(f"per-rotation (hoisted, m={m}):        {per_hoist*1e6:.1f} us")
-    print(f"speedup: {per_seq/per_hoist:.2f}x")
+    per_sum = measure(hoist_sum, extra=(keys_a, keys_b))
+    print(f"per-rotation (sequential key switch):  {per_seq*1e6:.1f} us")
+    print(f"per-rotation (hoisted, m={m}):         {per_hoist*1e6:.1f} us")
+    print(f"per-rotation (double-hoisted sum):     {per_sum*1e6:.1f} us")
+    print(f"speedup hoisted:        {per_seq/per_hoist:.2f}x")
+    print(f"speedup double-hoisted: {per_seq/per_sum:.2f}x")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,102 @@
+"""Bootstrapping primitives: modulus raising and Chebyshev evaluation.
+
+``raise_modulus`` is an exact integer operation: the raised ciphertext
+must decrypt to m + q0*I coefficient-wise (congruent to the level-1
+decryption mod q0, with the overflow polynomial I bounded by the secret's
+1-norm). ``eval_chebyshev`` must match the plain Chebyshev series on
+encrypted inputs within CKKS noise.
+"""
+
+import numpy as np
+import pytest
+
+from toy_heaan_ckks_tpu import (
+    CkksContext,
+    CkksEncoder,
+    CkksEngine,
+    CkksParams,
+    generate_primes,
+)
+from toy_heaan_ckks_tpu.errors import CkksError
+from toy_heaan_ckks_tpu.keys import KeyLadder
+from toy_heaan_ckks_tpu.math.sampling import make_rng
+from toy_heaan_ckks_tpu.models.bootstrap import eval_chebyshev, raise_modulus
+
+DEGREE = 64
+SCALE = 30
+
+
+def test_raise_modulus_exact_congruence():
+    full = CkksContext.build(generate_primes(31, 6, DEGREE), DEGREE)
+    ctx1 = full.slice_channels(0, 1)
+    q0 = ctx1.moduli[0]
+    hw = 8
+    params = CkksParams(3.2, hw, SCALE)
+    eng_full = CkksEngine(full, params)
+    rng = make_rng(3)
+    sk = eng_full.generate_secret_key(rng)
+    sk1 = sk.reduce_to(ctx1)
+    eng1 = CkksEngine(ctx1, params)
+    pk1 = eng1.generate_public_key(sk1, rng)
+
+    enc = CkksEncoder(DEGREE, SCALE)
+    a = np.linspace(-0.9, 0.9, DEGREE // 2)
+    ct1 = eng1.encrypt(enc.encode(a, ctx1), pk1, ctx1.total_bits(), rng)
+
+    raised = raise_modulus(ct1, full)
+    assert raised.logq == full.total_bits()
+
+    m1 = CkksEngine.decrypt(ct1, sk1).poly.to_coeffs()
+    mr = CkksEngine.decrypt(raised, sk).poly.to_coeffs()
+
+    # exact congruence mod q0, coefficient-wise
+    diff = (mr - m1) % q0
+    assert all(int(d) == 0 for d in diff)
+    # overflow polynomial I is small (|I| <= (1 + ||s||_1)/2 + 1)
+    I = (mr - m1) // q0
+    assert max(abs(int(v)) for v in I) <= (hw + 3) // 2 + 1
+
+    # and the raised ciphertext still decodes to the message mod q0
+    out = enc.decode(CkksEngine.decrypt(ct1, sk1))
+    np.testing.assert_allclose(out[: len(a)], a, atol=1e-4)
+
+
+def test_raise_modulus_rejects_multi_channel():
+    full = CkksContext.build(generate_primes(31, 4, DEGREE), DEGREE)
+    params = CkksParams(3.2, 8, SCALE)
+    eng = CkksEngine(full, params)
+    rng = make_rng(5)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    enc = CkksEncoder(DEGREE, SCALE)
+    ct = eng.encrypt(
+        enc.encode(np.zeros(DEGREE // 2), full), pk, full.total_bits(), rng
+    )
+    with pytest.raises(CkksError):
+        raise_modulus(ct, full)
+
+
+def test_eval_chebyshev_matches_plain():
+    # SCALE == prime bit width (the reference's rule) so logp is
+    # invariant across the recurrence's multiply+rescale steps
+    count, scale = 7, 31
+    full = CkksContext.build(generate_primes(scale, count, DEGREE), DEGREE)
+    params = CkksParams(3.2, 8, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(11)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+
+    enc = CkksEncoder(DEGREE, scale)
+    x = np.linspace(-0.95, 0.95, DEGREE // 2)
+    ct = eng.encrypt(enc.encode(x, full), pk, full.total_bits(), rng)
+
+    coeffs = [0.3, -0.5, 0.25, 0.125, -0.0625]  # degree 4
+    out_ct = eval_chebyshev(ladder, params, ct, coeffs)
+    out = enc.decode(
+        CkksEngine.decrypt(out_ct, sk.reduce_to(out_ct.ctx))
+    )[: len(x)]
+
+    expect = np.polynomial.chebyshev.chebval(x, coeffs)
+    np.testing.assert_allclose(out, expect, atol=2e-3)

@@ -306,3 +306,41 @@ def test_legacy_mul_exact_relinearization_identity():
     np.testing.assert_array_equal(
         np.asarray(lhs.data), np.asarray(rhs.data)
     )
+
+
+def test_square_ciphertext_bit_exact_with_general_mul():
+    # square_ciphertext's 2*c0*c1 shortcut must produce the SAME residues
+    # as mul_ciphertexts_gadget(ct, ct) (mont_mul is commutative and the
+    # modular double equals the two-product sum canonically)
+    degree, scale = 16, 30
+    ctx = CkksContext.build(generate_primes(31, 4, degree), degree)
+    engine = make_engine(ctx, scale, hw=8)
+    encoder = CkksEncoder(degree, scale)
+    rng = make_rng(9)
+
+    sk = engine.generate_secret_key(rng)
+    pk = engine.generate_public_key(sk, rng)
+    rlk = engine.generate_gadget_relin_key(sk, rng, digit_size=2)
+
+    a = np.array([1.25, -0.5, 0.3, 0.8])
+    ct = engine.encrypt(encoder.encode(a, ctx), pk, ctx.total_bits(), rng)
+
+    sq = CkksEngine.square_ciphertext(ct, rlk)
+    ref = CkksEngine.mul_ciphertexts_gadget(ct, ct, rlk)
+    np.testing.assert_array_equal(
+        np.asarray(sq.c0.to_ntt_domain().data),
+        np.asarray(ref.c0.to_ntt_domain().data),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sq.c1.to_ntt_domain().data),
+        np.asarray(ref.c1.to_ntt_domain().data),
+    )
+    assert sq.logp == ref.logp and sq.logq == ref.logq
+
+    out = encoder.decode(
+        CkksEngine.decrypt(
+            CkksEngine.rescale_ciphertext(sq),
+            sk.reduce_to(ctx.drop_last(1)),
+        )
+    )[: len(a)]
+    assert max_abs_err(a * a, out) <= 1e-4

@@ -525,6 +525,23 @@ def _mul_gadget_core(c0, c1, d0, d1, key_a, key_b, ctx: CkksContext,
     return mm.add_mod(t0, ks0, ctx.chain), mm.add_mod(t1, ks1, ctx.chain)
 
 
+@functools.partial(jax.jit, static_argnames=("digit_size",))
+def _square_gadget_core(c0, c1, key_a, key_b, ctx: CkksContext,
+                        ext_ctx: CkksContext, digit_size: int):
+    """Squaring variant of ``_mul_gadget_core``: t1 = 2*c0*c1 computed as
+    one product + one modular double — bit-identical to the general
+    path's mont_mul(c0,c1) + mont_mul(c1,c0) (commutative, same
+    canonical residues)."""
+    t0 = mm.mont_mul(c0, c0, ctx.chain)
+    cross = mm.mont_mul(c0, c1, ctx.chain)
+    t1 = mm.add_mod(cross, cross, ctx.chain)
+    t2 = mm.mont_mul(c1, c1, ctx.chain)
+    ks0, ks1 = _gadget_key_switch(
+        t2, key_a, key_b, ctx, ext_ctx, digit_size=digit_size
+    )
+    return mm.add_mod(t0, ks0, ctx.chain), mm.add_mod(t1, ks1, ctx.chain)
+
+
 class CkksEngine:
     """Homomorphic engine bound to a context + parameter set."""
 
@@ -730,6 +747,33 @@ class CkksEngine:
             logp=ct1.logp + ct2.logp,
             logq=ct1.logq,
             scale=ct1.true_scale * ct2.true_scale,
+        )
+
+    @staticmethod
+    def square_ciphertext(
+        ct: Ciphertext, rlk: RnsGadgetRelinKey
+    ) -> Ciphertext:
+        """ct * ct with the squaring shortcut: t1 = 2*c0*c1 saves one of
+        the four tensor-product pointwise multiplies (standard library
+        surface — SEAL/OpenFHE EvalSquare; the reference squares via the
+        generic multiply, examples/std_dev_8.rs). Identical residues to
+        ``mul_ciphertexts_gadget(ct, ct, rlk)``."""
+        ctx = ct.ctx
+        c0, c1 = _square_gadget_core(
+            ct.c0.to_ntt_domain().data,
+            ct.c1.to_ntt_domain().data,
+            rlk.a,
+            rlk.b,
+            ctx,
+            rlk.ext_ctx,
+            digit_size=rlk.digit_size,
+        )
+        return Ciphertext(
+            c0=Poly(c0, ctx, True),
+            c1=Poly(c1, ctx, True),
+            logp=2 * ct.logp,
+            logq=ct.logq,
+            scale=ct.true_scale * ct.true_scale,
         )
 
     # ── rescale ──────────────────────────────────────────────────────────

@@ -118,16 +118,20 @@ def eval_poly_horner(
 
 
 def _add_const(engine: CkksEngine, ct: Ciphertext, value: float) -> Ciphertext:
-    """Add a plain constant to every slot (constant-poly plaintext)."""
+    """Add a plain constant to every slot (constant-poly plaintext).
+
+    The constant is encoded at the ciphertext's EXACT scale (not the
+    nominal 2^logp), so the addition introduces no scale-drift error
+    even deep in an evaluation chain."""
     from ..ops.poly import Poly
     from ..types import Plaintext
 
     ctx = ct.ctx
     coeffs = np.zeros(ctx.degree, dtype=object)
-    coeffs[0] = int(round(value * 2.0**ct.logp))
+    coeffs[0] = int(round(value * ct.true_scale))
     pt = Plaintext(
         poly=Poly.from_coeffs(coeffs, ctx), scale_bits=ct.logp,
-        slots=ctx.degree // 2,
+        slots=ctx.degree // 2, scale=ct.true_scale,
     )
     return CkksEngine.add_plain(ct, pt)
 
@@ -171,10 +175,11 @@ def encrypted_std_dev(
     x = align_level(engine_at(ct.level), ct, mean.level)
     centered = CkksEngine.sub_ciphertexts(x, mean)
 
-    # squared deviations
+    # squared deviations (squaring shortcut: bit-identical, one fewer
+    # pointwise product)
     rlk = ladder.at_level(centered.level).rlk
     sq = CkksEngine.rescale_ciphertext(
-        CkksEngine.mul_ciphertexts_gadget(centered, centered, rlk)
+        CkksEngine.square_ciphertext(centered, rlk)
     )
 
     # variance in every slot
