@@ -100,3 +100,87 @@ def test_eval_chebyshev_matches_plain():
 
     expect = np.polynomial.chebyshev.chebval(x, coeffs)
     np.testing.assert_allclose(out, expect, atol=2e-3)
+
+
+def test_coeff_to_slot_roundtrip():
+    """CtS then StC with no EvalMod in between is the identity on slots.
+
+    Exercises the dense hoisted diagonal matvecs and the complex-packing
+    identities (P z = c_lo + i c_hi, A t = z) end-to-end under
+    encryption."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        coeff_to_slot,
+        slot_to_coeff,
+    )
+
+    deg, scale, count = 32, 31, 3
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    params = CkksParams(3.2, 4, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(21)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    bkeys = BootstrapKeys(ladder, params, rng)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(7)
+    a = rng2.uniform(-0.5, 0.5, deg // 2) + 1j * rng2.uniform(
+        -0.5, 0.5, deg // 2
+    )
+    ct = eng.encrypt(enc.encode_complex(a, full), pk, full.total_bits(), rng)
+
+    t = coeff_to_slot(ct, bkeys, enc)
+    back = slot_to_coeff(t, bkeys, enc)
+
+    out = enc.decode_complex(CkksEngine.decrypt(back, sk.reduce_to(back.ctx)))
+    np.testing.assert_allclose(out[: len(a)], a, atol=2e-4)
+
+    # and the intermediate really is the packed coefficient vector
+    m = CkksEngine.decrypt(ct, sk).poly.to_coeffs()
+    delta = ct.true_scale
+    want_t = (
+        np.array([int(v) for v in m[: deg // 2]], dtype=np.float64)
+        + 1j * np.array([int(v) for v in m[deg // 2 :]], dtype=np.float64)
+    ) / delta
+    got_t = enc.decode_complex(CkksEngine.decrypt(t, sk.reduce_to(t.ctx)))
+    np.testing.assert_allclose(got_t[: deg // 2], want_t, atol=2e-4)
+
+
+def test_bootstrap_end_to_end():
+    """Full refresh: a level-1 ciphertext comes back at a usable level
+    with the SAME message (within the sine-approximation error)."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        bootstrap,
+    )
+
+    deg, scale, count = 32, 31, 17
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    ctx1 = full.slice_channels(0, 1)
+    hw = 2
+    params = CkksParams(3.2, hw, scale)
+    rng = make_rng(33)
+    eng_full = CkksEngine(full, params)
+    sk = eng_full.generate_secret_key(rng)
+    sk1 = sk.reduce_to(ctx1)
+    eng1 = CkksEngine(ctx1, params)
+    pk1 = eng1.generate_public_key(sk1, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    bkeys = BootstrapKeys(ladder, params, rng)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(9)
+    a = rng2.uniform(-0.02, 0.02, deg // 2)
+    ct1 = eng1.encrypt(enc.encode(a, ctx1), pk1, ctx1.total_bits(), rng)
+    assert ct1.level == 1  # exhausted: no multiplies possible
+
+    r_dbl, cheb_deg = 5, 6
+    out = bootstrap(ct1, full, bkeys, params, enc, r=r_dbl, deg=cheb_deg)
+
+    assert out.level == count - (cheb_deg + r_dbl + 4)
+    assert out.level > ct1.level  # the point of bootstrapping
+
+    got = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))
+    np.testing.assert_allclose(got[: len(a)], a, atol=2e-3)

@@ -117,18 +117,23 @@ def eval_poly_horner(
     return r
 
 
-def _add_const(engine: CkksEngine, ct: Ciphertext, value: float) -> Ciphertext:
+def _add_const(engine: CkksEngine, ct: Ciphertext, value) -> Ciphertext:
     """Add a plain constant to every slot (constant-poly plaintext).
 
     The constant is encoded at the ciphertext's EXACT scale (not the
     nominal 2^logp), so the addition introduces no scale-drift error
-    even deep in an evaluation chain."""
+    even deep in an evaluation chain. Complex constants ride the
+    X^{N/2} monomial, which evaluates to i at every first-half slot
+    root (zeta_k^{N/2} = i^{J(k)} = i since J(k) = 5^k = 1 mod 4)."""
     from ..ops.poly import Poly
     from ..types import Plaintext
 
     ctx = ct.ctx
+    v = complex(value)
     coeffs = np.zeros(ctx.degree, dtype=object)
-    coeffs[0] = int(round(value * ct.true_scale))
+    coeffs[0] = int(round(v.real * ct.true_scale))
+    if v.imag:
+        coeffs[ctx.degree // 2] = int(round(v.imag * ct.true_scale))
     pt = Plaintext(
         poly=Poly.from_coeffs(coeffs, ctx), scale_bits=ct.logp,
         slots=ctx.degree // 2, scale=ct.true_scale,

@@ -12,12 +12,17 @@ exhausted ciphertext — built from the framework's own primitives:
    evaluation via the three-term recurrence (one ct x ct multiply +
    rescale per degree), used for the sine approximation of EvalMod.
 3. ``coeff_to_slot`` / ``slot_to_coeff`` — the homomorphic DFTs between
-   coefficient and slot representations, evaluated as double-hoisted
-   diagonal matrix-vector products with one shared mod-down each, with
-   the conjugation key supplying the anti-linear half.
-4. ``bootstrap`` — the full pipeline: raise -> CtS -> EvalMod (scaled
-   sine) -> StC, returning a ciphertext of the SAME message at a higher
-   level than the input.
+   coefficient and slot representations. With complex packing
+   (t = c_lo + i*c_hi) each collapses to a SINGLE linear diagonal
+   matvec (the anti-linear half vanishes — see ``_cts_diagonals``),
+   evaluated double-hoisted: one gadget decomposition and one P
+   mod-down for all N/2-1 rotations.
+4. ``eval_mod`` — approximate mod-q0 reduction by the double-angle
+   exponential method: a low-degree Chebyshev fit of e^{i a u}, r
+   squarings, and a conjugation to take the imaginary part (sine).
+5. ``bootstrap`` — the full pipeline: raise -> CtS -> EvalMod on the
+   real and imaginary packed halves -> StC, returning a ciphertext of
+   the SAME message at a higher level than the input.
 
 No security claim is attached to the toy parameter sets used in the
 tests/examples (as with every parameter set in this repo — see
@@ -41,6 +46,11 @@ from ..types import Ciphertext
 __all__ = [
     "raise_modulus",
     "eval_chebyshev",
+    "BootstrapKeys",
+    "coeff_to_slot",
+    "slot_to_coeff",
+    "eval_mod",
+    "bootstrap",
 ]
 
 
@@ -105,6 +115,29 @@ def raise_modulus(ct: Ciphertext, target_ctx: CkksContext) -> Ciphertext:
     )
 
 
+def _mul_const(engine: CkksEngine, ct: Ciphertext, value) -> Ciphertext:
+    """Multiply every slot by a (possibly complex) constant.
+
+    Real part on the constant coefficient, imaginary part on X^{N/2}
+    (which evaluates to i at every first-half slot root — see
+    algorithms._add_const). Follow with ``rescale_ciphertext``."""
+    from ..types import Plaintext
+
+    ctx = ct.ctx
+    v = complex(value)
+    delta = 2.0 ** engine.params.scale_bits
+    coeffs = np.zeros(ctx.degree, dtype=object)
+    coeffs[0] = int(round(v.real * delta))
+    if v.imag:
+        coeffs[ctx.degree // 2] = int(round(v.imag * delta))
+    pt = Plaintext(
+        poly=Poly.from_coeffs(coeffs, ctx),
+        scale_bits=engine.params.scale_bits,
+        slots=ctx.degree // 2,
+    )
+    return CkksEngine.mul_plain(ct, pt)
+
+
 def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
     """Evaluate sum_k coeffs[k] * T_k(x) on an encrypted x in [-1, 1].
 
@@ -113,12 +146,13 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
     conversion of a high-degree fit catastrophically cancels. One
     ct x ct multiply + rescale per degree (depth = deg, like Horner —
     ``models/algorithms.eval_poly_horner`` is the monomial twin).
+    Coefficients may be complex (used by ``eval_mod``'s e^{i a u} fit).
 
     ``ladder``: KeyLadder covering ct's level down to level-deg.
     """
     from .algorithms import _add_const, align_level
 
-    coeffs = [float(c) for c in coeffs]
+    coeffs = [complex(c) for c in coeffs]
     deg = len(coeffs) - 1
     if deg < 1:
         raise ValueError("eval_chebyshev: need degree >= 1")
@@ -130,7 +164,7 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
     t_prev = None  # T_{k-1}(x) ciphertext
     t_cur = ct  # T_1 = x
     acc = CkksEngine.rescale_ciphertext(
-        engine_at(ct.level).mul_plain_scalar(ct, coeffs[1])
+        _mul_const(engine_at(ct.level), ct, coeffs[1])
     )
     acc = _add_const(engine_at(acc.level), acc, coeffs[0])
 
@@ -153,8 +187,250 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
         t_prev, t_cur = t_cur, t_next
 
         term = CkksEngine.rescale_ciphertext(
-            engine_at(t_cur.level).mul_plain_scalar(t_cur, coeffs[k])
+            _mul_const(engine_at(t_cur.level), t_cur, coeffs[k])
         )
         acc = align_level(engine_at(acc.level), acc, term.level)
         acc = CkksEngine.add_ciphertexts(acc, term)
     return acc
+
+
+# ── Stage 3: homomorphic DFTs (CoeffToSlot / SlotToCoeff) ────────────────────
+
+
+@functools.lru_cache(maxsize=8)
+def _cts_diagonals(degree: int):
+    """Diagonals of the CtS and StC matrices (complex packing form).
+
+    With t = c_lo + i*c_hi (all N real coefficients packed into N/2
+    complex slots) both homomorphic DFTs collapse to SINGLE linear
+    matvecs — the conjugate (anti-linear) half vanishes identically:
+
+      CtS:  t = P z,   P[j,k] = 2 * zeta_k^{-j} / N      (Q = 0)
+      StC:  z = A t,   A[k,j] = zeta_k^{j}
+
+    where zeta_k = psi^{J(k)} are the first-half J-ordered slot roots
+    (reference src/encoding/special_fft.rs:21-29 ordering; the identity
+    uses zeta_k^{N/2} = i^{J(k)} = i since J(k) = 5^k = 1 mod 4).
+
+    Returns (P_diags, A_diags), each (N/2, N/2) complex128 with
+    diags[r][k] = M[k, (k+r) mod N/2] — the rotation-r diagonal of the
+    diagonal (BSGS-free) matvec method.
+    """
+    from ..encoding.embedding import j_exponents
+
+    n = degree
+    n2 = n // 2
+    e = j_exponents(n)[:n2]
+    zeta = np.exp(1j * np.pi * e / n)
+    j = np.arange(n2)
+    P = 2.0 * zeta[None, :] ** (-j[:, None]) / n  # (row j, col k)
+    A = zeta[:, None] ** j[None, :]  # (row k, col j)
+    k = np.arange(n2)
+
+    def diags(M):
+        return np.stack([M[k, (k + r) % n2] for r in range(n2)])
+
+    return diags(P), diags(A)
+
+
+class BootstrapKeys:
+    """Bootstrapping key material on top of a KeyLadder.
+
+    The dense homomorphic DFTs need rotation keys for EVERY offset
+    1..N/2-1 at the two matvec levels, plus conjugation keys at the
+    real/imag split and sine-extraction levels; generating those at
+    every ladder level eagerly would be wasteful, so they are created
+    lazily per level here (mirroring KeyLadder's lazy mode).
+    """
+
+    def __init__(self, ladder, params, rng):
+        from ..keys import KeyLadder  # noqa: F401 (typing aid)
+
+        self.ladder = ladder
+        self.params = params
+        self._rng = rng
+        self._std = float(params.error_variance) ** 0.5
+        self._rot: dict[int, dict] = {}
+        self._conj: dict[int, object] = {}
+
+    def rot_map(self, level: int) -> dict:
+        """Rotation keys {offset: key} for offsets 1..N/2-1 at ``level``."""
+        if level not in self._rot:
+            from ..keys import RnsGadgetRotationKey
+
+            lvl = self.ladder.at_level(level)
+            n2 = lvl.ctx.degree // 2
+            self._rot[level] = {
+                r: RnsGadgetRotationKey.generate(
+                    lvl.sk, r, self._std, lvl.ctx, self._rng
+                )
+                for r in range(1, n2)
+            }
+        return self._rot[level]
+
+    def conj(self, level: int):
+        """Conjugation key at ``level``."""
+        if level not in self._conj:
+            from ..keys import RnsGadgetConjugationKey
+
+            lvl = self.ladder.at_level(level)
+            self._conj[level] = RnsGadgetConjugationKey.generate(
+                lvl.sk, self._std, lvl.ctx, self._rng
+            )
+        return self._conj[level]
+
+
+def _matvec_hoisted(ct: Ciphertext, rot_map: dict, diags, encoder) -> Ciphertext:
+    """sum_r diag_r o rot_r(ct): dense diagonal matvec, double-hoisted.
+
+    All N/2-1 nonzero-offset rotations share ONE gadget decomposition
+    and ONE P mod-down (engine.rotate_weighted_sum_hoisted); the r=0
+    diagonal is a plain multiply folded in at matching scale. Follow
+    with ``rescale_ciphertext``.
+    """
+    n2 = ct.ctx.degree // 2
+    rotks = [rot_map[r] for r in range(1, n2)]
+    ext_ctx = rotks[0].ext_ctx
+    pts = [
+        encoder.encode_complex(diags[r], ext_ctx) for r in range(1, n2)
+    ]
+    acc = CkksEngine.rotate_weighted_sum_hoisted(ct, rotks, pts)
+    pt0 = encoder.encode_complex(diags[0], ct.ctx)
+    return CkksEngine.add_ciphertexts(acc, CkksEngine.mul_plain(ct, pt0))
+
+
+def coeff_to_slot(ct: Ciphertext, bkeys: BootstrapKeys, encoder) -> Ciphertext:
+    """Homomorphic CoeffToSlot: slots become t_j = (m_j + i*m_{j+N/2})/Delta.
+
+    The decryption coefficients m_j land in the slots, complex-packed
+    (real parts = low half, imaginary parts = high half). One hoisted
+    diagonal matvec + one rescale (consumes 1 level).
+    """
+    P_diags, _ = _cts_diagonals(ct.ctx.degree)
+    out = _matvec_hoisted(ct, bkeys.rot_map(ct.level), P_diags, encoder)
+    return CkksEngine.rescale_ciphertext(out)
+
+
+def slot_to_coeff(ct: Ciphertext, bkeys: BootstrapKeys, encoder) -> Ciphertext:
+    """Homomorphic SlotToCoeff: inverse of ``coeff_to_slot``.
+
+    Input slots t_j = v_j + i*w_j; output ciphertext's decryption
+    coefficients are (v | w) * Delta — i.e. slots return to the
+    canonical embedding of that coefficient vector. Consumes 1 level.
+    """
+    _, A_diags = _cts_diagonals(ct.ctx.degree)
+    out = _matvec_hoisted(ct, bkeys.rot_map(ct.level), A_diags, encoder)
+    return CkksEngine.rescale_ciphertext(out)
+
+
+# ── Stage 4: EvalMod (scaled sine) and the full bootstrap ────────────────────
+
+
+def _exp_cheb_coeffs(a: float, deg: int):
+    """Chebyshev coefficients of e^{i a u} on u in [-1, 1].
+
+    Fitted as cos(a u) (even) + i sin(a u) (odd) with numpy's Chebyshev
+    interpolation; coefficients decay like (a/2)^k / k!.
+    """
+    cos_c = np.polynomial.chebyshev.Chebyshev.interpolate(
+        lambda u: np.cos(a * u), deg
+    ).coef
+    sin_c = np.polynomial.chebyshev.Chebyshev.interpolate(
+        lambda u: np.sin(a * u), deg
+    ).coef
+    out = np.zeros(deg + 1, dtype=complex)
+    out[: len(cos_c)] += cos_c
+    out[: len(sin_c)] += 1j * sin_c
+    return out
+
+
+def eval_mod(
+    ladder,
+    params,
+    bkeys: BootstrapKeys,
+    ct: Ciphertext,
+    rho: float,
+    K: int,
+    pre: complex,
+    post: complex,
+    r: int = 5,
+    deg: int = 6,
+) -> Ciphertext:
+    """Approximate y -> (rho/2pi) sin(2pi y / rho) ~ y mod rho (centered).
+
+    The double-angle exponential method (Cheon et al. EUROCRYPT'18 §4 /
+    Han-Ki): evaluate w0 ~ e^{i a u} (a = 2 pi K / 2^r, u = pre*y in
+    [-1,1], |y| <= rho*K) by a degree-``deg`` Chebyshev fit — the
+    coefficients are tiny because a <= ~0.8 — then square r times so
+    w = e^{2 pi i y / rho}, and extract (w - conj(w)) * post, with
+    post = -i rho/(4 pi) * (extra factors the caller folds in). Depth:
+    1 (pre) + deg (Chebyshev) + r (squarings) + 1 (post) levels.
+
+    ``pre`` must equal c/(rho*K) with |c| = 1 (the caller uses it to
+    fold in the real/imag-split constants 1/2 and -i/2 for free).
+    """
+
+    def engine_at(level):
+        return CkksEngine(ladder.at_level(level).ctx, params)
+
+    u = CkksEngine.rescale_ciphertext(_mul_const(engine_at(ct.level), ct, pre))
+    a = 2.0 * np.pi * K / (1 << r)
+    w = eval_chebyshev(ladder, params, u, _exp_cheb_coeffs(a, deg))
+    for _ in range(r):
+        rlk = ladder.at_level(w.level).rlk
+        w = CkksEngine.rescale_ciphertext(CkksEngine.square_ciphertext(w, rlk))
+    w_conj = CkksEngine.conjugate_ciphertext(w, bkeys.conj(w.level))
+    s = CkksEngine.sub_ciphertexts(w, w_conj)
+    return CkksEngine.rescale_ciphertext(
+        _mul_const(engine_at(s.level), s, post)
+    )
+
+
+def bootstrap(
+    ct: Ciphertext,
+    target_ctx: CkksContext,
+    bkeys: BootstrapKeys,
+    params,
+    encoder,
+    K: int | None = None,
+    r: int = 5,
+    deg: int = 6,
+) -> Ciphertext:
+    """Refresh a level-1 ciphertext: same message, higher level.
+
+    Pipeline (Cheon-Han-Kim-Kim-Song, EUROCRYPT'18): raise_modulus ->
+    CoeffToSlot -> EvalMod on the real and imaginary packed halves ->
+    SlotToCoeff. Output level = target - (deg + r + 4); the message
+    must satisfy |m|/q0 << 1 (the sine linearization error is
+    ~ (2 pi |m|/q0)^2 / 6 relative).
+
+    The reference has no counterpart (its chain only ever shrinks,
+    engine.rs:255-282); this is the capability that turns a levelled
+    toy into a production scheme.
+    """
+    ladder = bkeys.ladder
+    raised = raise_modulus(ct, target_ctx)
+    q0 = ct.ctx.moduli[0]
+    rho = q0 / raised.true_scale
+    if K is None:
+        hw = params.hamming_weight
+        K = int(np.ceil((1 + hw) / 2 + 1)) + 1
+
+    t = coeff_to_slot(raised, bkeys, encoder)
+    t_conj = CkksEngine.conjugate_ciphertext(t, bkeys.conj(t.level))
+    s_plus = CkksEngine.add_ciphertexts(t, t_conj)  # 2*Re(t)
+    s_minus = CkksEngine.sub_ciphertexts(t, t_conj)  # 2i*Im(t)
+
+    base_post = -1j * rho / (4.0 * np.pi)
+    m_re = eval_mod(
+        ladder, params, bkeys, s_plus, rho, K,
+        pre=0.5 / (rho * K), post=base_post, r=r, deg=deg,
+    )
+    # fold the -i (un-2i) and the i (re-pack) into pre/post: the imag
+    # branch evaluates on Im(t) and contributes i * EvalMod(Im(t))
+    m_im = eval_mod(
+        ladder, params, bkeys, s_minus, rho, K,
+        pre=-0.5j / (rho * K), post=1j * base_post, r=r, deg=deg,
+    )
+    m_t = CkksEngine.add_ciphertexts(m_re, m_im)
+    return slot_to_coeff(m_t, bkeys, encoder)
