@@ -196,9 +196,18 @@ def _measure_ntt_roofline() -> dict:
 
     k1, k2 = 1, 33
     t(k1); t(k2); t(k1); t(k2)
-    a = statistics.median(t(k1) for _ in range(3))
-    b = statistics.median(t(k2) for _ in range(3))
-    per_ntt = (b - a) / ((k2 - k1) * B * L)
+    # paired deltas, positives only (tunnel latency drifts; an unlucky
+    # pairing can make long - short negative on this runtime)
+    ntt_deltas = []
+    for _ in range(7):
+        a = t(k1)
+        b = t(k2)
+        if b - a > 0:
+            ntt_deltas.append((b - a) / ((k2 - k1) * B * L))
+    if not ntt_deltas:
+        return {"channel_ntt_us": None, "gbutterflies_per_s": None,
+                "copy_bw_gb_s": None, "roofline_pct": None}
+    per_ntt = statistics.median(ntt_deltas)
 
     # effective copy bandwidth: marginal cost of y = x + 1 on 256 MB
     big = jnp.zeros((64, 1024, 1024), jnp.uint32)

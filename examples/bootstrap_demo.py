@@ -50,8 +50,17 @@ def main():
     )
     print(f"exhausted ciphertext: level={ct1.level} logq={ct1.logq}")
 
-    out = bootstrap(ct1, full, bkeys, params, encoder, r=R_DBL, deg=CHEB_DEG)
+    # giant=4 forces the baby-step/giant-step matvec: (4-1) baby +
+    # (N/8 - 1) giant rotation keys instead of the dense N/2 - 1 per
+    # matvec level — the difference between an infeasible and a
+    # practical bootstrap key set at production degrees.
+    out = bootstrap(
+        ct1, full, bkeys, params, encoder, r=R_DBL, deg=CHEB_DEG, giant=4
+    )
+    n_rot = len(bkeys._rot)
     print(f"bootstrapped:         level={out.level} logq={out.logq}")
+    print(f"BSGS rotation keys:   {n_rot} (dense method would need "
+          f"{2 * (SLOTS - 1)} across the two matvec levels)")
     assert out.level > ct1.level
 
     got = encoder.decode(

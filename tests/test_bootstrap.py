@@ -148,6 +148,55 @@ def test_coeff_to_slot_roundtrip():
     np.testing.assert_allclose(got_t[: deg // 2], want_t, atol=2e-4)
 
 
+def test_matvec_bsgs_matches_dense():
+    """BSGS CtS/StC (O(sqrt N) keys) agrees with the dense hoisted path.
+
+    Same slot values out (within key-switch noise) and the roundtrip is
+    still the identity; the BSGS path must also request far fewer
+    rotation keys.
+    """
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        coeff_to_slot,
+        slot_to_coeff,
+    )
+
+    deg, scale, count = 64, 31, 3
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    params = CkksParams(3.2, 4, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(45)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    bkeys_dense = BootstrapKeys(ladder, params, rng)
+    bkeys_bsgs = BootstrapKeys(ladder, params, rng)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(8)
+    a = rng2.uniform(-0.5, 0.5, deg // 2) + 1j * rng2.uniform(
+        -0.5, 0.5, deg // 2
+    )
+    ct = eng.encrypt(enc.encode_complex(a, full), pk, full.total_bits(), rng)
+
+    t_dense = coeff_to_slot(ct, bkeys_dense, enc, giant=None)
+    t_bsgs = coeff_to_slot(ct, bkeys_bsgs, enc, giant=8)  # 8 | N/2 = 32
+
+    skd = sk.reduce_to(t_dense.ctx)
+    out_dense = enc.decode_complex(CkksEngine.decrypt(t_dense, skd))
+    out_bsgs = enc.decode_complex(CkksEngine.decrypt(t_bsgs, skd))
+    np.testing.assert_allclose(out_bsgs, out_dense, atol=2e-4)
+
+    # O(sqrt n) key material: offsets 1..7 (baby) + {8,16,24} (giant)
+    offs = sorted(o for (_, o) in bkeys_bsgs._rot)
+    assert offs == [1, 2, 3, 4, 5, 6, 7, 8, 16, 24]
+
+    # and the full BSGS roundtrip is the identity on the message
+    back = slot_to_coeff(t_bsgs, bkeys_bsgs, enc, giant=8)
+    out = enc.decode_complex(CkksEngine.decrypt(back, sk.reduce_to(back.ctx)))
+    np.testing.assert_allclose(out[: len(a)], a, atol=2e-4)
+
+
 def test_bootstrap_end_to_end():
     """Full refresh: a level-1 ciphertext comes back at a usable level
     with the SAME message (within the sine-approximation error)."""

@@ -250,23 +250,29 @@ class BootstrapKeys:
         self.params = params
         self._rng = rng
         self._std = float(params.error_variance) ** 0.5
-        self._rot: dict[int, dict] = {}
+        self._rot: dict[tuple[int, int], object] = {}
         self._conj: dict[int, object] = {}
 
-    def rot_map(self, level: int) -> dict:
-        """Rotation keys {offset: key} for offsets 1..N/2-1 at ``level``."""
-        if level not in self._rot:
+    def rot_key(self, level: int, offset: int):
+        """Rotation key for one ``offset`` at ``level`` (lazily cached)."""
+        key = (level, offset)
+        if key not in self._rot:
             from ..keys import RnsGadgetRotationKey
 
             lvl = self.ladder.at_level(level)
-            n2 = lvl.ctx.degree // 2
-            self._rot[level] = {
-                r: RnsGadgetRotationKey.generate(
-                    lvl.sk, r, self._std, lvl.ctx, self._rng
-                )
-                for r in range(1, n2)
-            }
-        return self._rot[level]
+            self._rot[key] = RnsGadgetRotationKey.generate(
+                lvl.sk, offset, self._std, lvl.ctx, self._rng
+            )
+        return self._rot[key]
+
+    def rot_map(self, level: int) -> dict:
+        """Rotation keys {offset: key} for offsets 1..N/2-1 at ``level``.
+
+        Dense-matvec key set — O(N/2) keys; the BSGS path
+        (``_matvec_bsgs``) needs only O(sqrt(N)) of them via ``rot_key``.
+        """
+        n2 = self.ladder.at_level(level).ctx.degree // 2
+        return {r: self.rot_key(level, r) for r in range(1, n2)}
 
     def conj(self, level: int):
         """Conjugation key at ``level``."""
@@ -299,27 +305,97 @@ def _matvec_hoisted(ct: Ciphertext, rot_map: dict, diags, encoder) -> Ciphertext
     return CkksEngine.add_ciphertexts(acc, CkksEngine.mul_plain(ct, pt0))
 
 
-def coeff_to_slot(ct: Ciphertext, bkeys: BootstrapKeys, encoder) -> Ciphertext:
+def _matvec_bsgs(
+    ct: Ciphertext, bkeys: BootstrapKeys, diags, encoder, giant: int
+) -> Ciphertext:
+    """Baby-step/giant-step diagonal matvec: O(sqrt(n)) rotation keys.
+
+    sum_r diag_r o rot_r(ct) regrouped as (Halevi-Shoup BSGS)
+
+        sum_j rot_{g j}( sum_b roll(diag_{g j + b}, g j) o rot_b(ct) )
+
+    with g = ``giant`` dividing n = N/2. The g-1 baby rotations share ONE
+    hoisted gadget decomposition; each of the n/g - 1 giant steps is one
+    full key switch on its inner sum. Key material drops from n-1 keys
+    (dense ``_matvec_hoisted``) to (g-1) + (n/g - 1) — the difference
+    between an infeasible and a practical bootstrap key set for N >= 2^10
+    (at N=2^14, 8191 keys -> 180 with g=64). Follow with
+    ``rescale_ciphertext``.
+    """
+    n2 = ct.ctx.degree // 2
+    if giant <= 0 or n2 % giant:
+        raise CkksError(
+            f"_matvec_bsgs: giant step {giant} must divide N/2 = {n2}"
+        )
+    nj = n2 // giant
+    level = ct.level
+    baby_keys = [bkeys.rot_key(level, b) for b in range(1, giant)]
+    babies = [ct] + CkksEngine.rotate_hoisted(ct, baby_keys)
+
+    acc = None
+    for j in range(nj):
+        inner = None
+        for b in range(giant):
+            d = np.roll(diags[giant * j + b], giant * j)
+            pt = encoder.encode_complex(d, ct.ctx)
+            term = CkksEngine.mul_plain(babies[b], pt)
+            inner = (
+                term if inner is None
+                else CkksEngine.add_ciphertexts(inner, term)
+            )
+        if j:
+            inner = CkksEngine.rotate_ciphertext(
+                inner, bkeys.rot_key(level, giant * j)
+            )
+        acc = inner if acc is None else CkksEngine.add_ciphertexts(acc, inner)
+    return acc
+
+
+def _auto_giant(n2: int, giant) -> int | None:
+    """Resolve the giant-step policy: None = dense for small n2, else
+    the power-of-two split nearest sqrt(n2)."""
+    if giant != "auto":
+        return giant
+    if n2 <= 16:
+        return None  # dense double-hoisted matvec is cheaper
+    return 1 << ((n2.bit_length() - 1 + 1) // 2)
+
+
+def _matvec(ct, bkeys, diags, encoder, giant) -> Ciphertext:
+    g = _auto_giant(ct.ctx.degree // 2, giant)
+    if g is None:
+        return _matvec_hoisted(ct, bkeys.rot_map(ct.level), diags, encoder)
+    return _matvec_bsgs(ct, bkeys, diags, encoder, g)
+
+
+def coeff_to_slot(
+    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto"
+) -> Ciphertext:
     """Homomorphic CoeffToSlot: slots become t_j = (m_j + i*m_{j+N/2})/Delta.
 
     The decryption coefficients m_j land in the slots, complex-packed
     (real parts = low half, imaginary parts = high half). One hoisted
-    diagonal matvec + one rescale (consumes 1 level).
+    diagonal matvec + one rescale (consumes 1 level). ``giant``:
+    "auto" (default) picks dense vs BSGS by N; an int forces that BSGS
+    giant-step size; None forces the dense double-hoisted matvec.
     """
     P_diags, _ = _cts_diagonals(ct.ctx.degree)
-    out = _matvec_hoisted(ct, bkeys.rot_map(ct.level), P_diags, encoder)
+    out = _matvec(ct, bkeys, P_diags, encoder, giant)
     return CkksEngine.rescale_ciphertext(out)
 
 
-def slot_to_coeff(ct: Ciphertext, bkeys: BootstrapKeys, encoder) -> Ciphertext:
+def slot_to_coeff(
+    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto"
+) -> Ciphertext:
     """Homomorphic SlotToCoeff: inverse of ``coeff_to_slot``.
 
     Input slots t_j = v_j + i*w_j; output ciphertext's decryption
     coefficients are (v | w) * Delta — i.e. slots return to the
     canonical embedding of that coefficient vector. Consumes 1 level.
+    ``giant``: as in ``coeff_to_slot``.
     """
     _, A_diags = _cts_diagonals(ct.ctx.degree)
-    out = _matvec_hoisted(ct, bkeys.rot_map(ct.level), A_diags, encoder)
+    out = _matvec(ct, bkeys, A_diags, encoder, giant)
     return CkksEngine.rescale_ciphertext(out)
 
 
@@ -395,6 +471,7 @@ def bootstrap(
     K: int | None = None,
     r: int = 5,
     deg: int = 6,
+    giant="auto",
 ) -> Ciphertext:
     """Refresh a level-1 ciphertext: same message, higher level.
 
@@ -416,7 +493,7 @@ def bootstrap(
         hw = params.hamming_weight
         K = int(np.ceil((1 + hw) / 2 + 1)) + 1
 
-    t = coeff_to_slot(raised, bkeys, encoder)
+    t = coeff_to_slot(raised, bkeys, encoder, giant=giant)
     t_conj = CkksEngine.conjugate_ciphertext(t, bkeys.conj(t.level))
     s_plus = CkksEngine.add_ciphertexts(t, t_conj)  # 2*Re(t)
     s_minus = CkksEngine.sub_ciphertexts(t, t_conj)  # 2i*Im(t)
@@ -433,4 +510,4 @@ def bootstrap(
         pre=-0.5j / (rho * K), post=1j * base_post, r=r, deg=deg,
     )
     m_t = CkksEngine.add_ciphertexts(m_re, m_im)
-    return slot_to_coeff(m_t, bkeys, encoder)
+    return slot_to_coeff(m_t, bkeys, encoder, giant=giant)

@@ -182,6 +182,12 @@ def _sub_mod(a, b, q):
 # named axes (read once at import; kernels compile per-process).
 _SHIFT_CONCAT = os.environ.get("CKKS_SHIFT_CONCAT", "")
 
+# Movement formulation: "roll" (two opposite circular shifts per stage)
+# or "swap" (sublane-axis stages use ONE partner swap — the p <-> p^d
+# exchange is a half-roll of a reshaped (r/2d, 2d, c) view, and one
+# array serves both butterfly sides). Read once at import.
+_NTT_MOVE = os.environ.get("CKKS_NTT_MOVE", "roll")
+
 
 def _shift(x, amount: int, axis: int, use_roll: bool | None = None):
     """Static circular shift: element i of the output = x[i + amount]."""
@@ -194,6 +200,35 @@ def _shift(x, amount: int, axis: int, use_roll: bool | None = None):
     if axis == 0:
         return jnp.concatenate([x[amount:], x[:amount]], axis=0)
     return jnp.concatenate([x[:, amount:], x[:, :amount]], axis=1)
+
+
+def _swap_rows(x, dr: int):
+    """Partner swap p <-> p XOR dr along the sublane axis: ONE block move.
+
+    Groups of 2*dr rows swap their halves — a half-roll of the reshaped
+    (r/(2 dr), 2 dr, c) view (leading-axis reshapes are free; the concat
+    is a sublane copy). The swapped array carries the partner value at
+    BOTH butterfly sides, replacing the two opposite-direction rolls of
+    the roll formulation."""
+    r, c = x.shape
+    x3 = x.reshape(r // (2 * dr), 2 * dr, c)
+    s3 = pltpu.roll(x3, dr, 1)
+    return s3.reshape(r, c)
+
+
+def _partners(x_fwd, x_back, axis: int, amount: int):
+    """(partner_at_u, partner_at_v) for a distance-``amount`` butterfly.
+
+    Roll mode: two opposite circular shifts (x_fwd feeds the u-side
+    multiply operand, x_back the v-side add/sub operand). Swap mode,
+    sublane axis only: one ``_swap_rows`` of x_back serves both sides —
+    the u-side operand is then the *reduced* partner, which is the same
+    value mod q (any u32 is a valid Harvey input), so the kernel's final
+    canonical output is unchanged."""
+    if axis == 0 and _NTT_MOVE == "swap":
+        s = _swap_rows(x_back, amount)
+        return s, s
+    return _shift(x_fwd, amount, axis), _shift(x_back, -amount, axis)
 
 
 def _mask_u(r: int, c: int, d: int):
@@ -221,8 +256,7 @@ def _fwd_stage_lazy(x, w, wp, q, axis: int, amount: int, mask):
     subtract instead of three.
     """
     xr = jnp.where(x >= 2 * q, x - 2 * q, x)  # < 2q
-    v_at_u = _shift(x, amount, axis)  # partner (unreduced)
-    u_at_v = _shift(xr, -amount, axis)  # reduced u at v positions
+    v_at_u, u_at_v = _partners(x, xr, axis, amount)
     operand = jnp.where(mask, v_at_u, x)
     t = _harvey_mul_lazy(operand, w, wp, q)  # < 2q
     return jnp.where(mask, xr + t, u_at_v + 2 * q - t)  # < 4q
@@ -230,8 +264,7 @@ def _fwd_stage_lazy(x, w, wp, q, axis: int, amount: int, mask):
 
 def _inv_stage_lazy(x, w, wp, q, axis: int, amount: int, mask):
     """Inverse (GS) butterfly, Harvey-lazy: [0, 2q) invariant."""
-    v_at_u = _shift(x, amount, axis)
-    u_at_v = _shift(x, -amount, axis)
+    v_at_u, u_at_v = _partners(x, x, axis, amount)
     total = x + v_at_u  # < 4q at u positions
     total = jnp.where(total >= 2 * q, total - 2 * q, total)
     diff = u_at_v + 2 * q - x  # < 4q at v positions
@@ -276,8 +309,7 @@ def _tw_mul(x, tw, q, lazy: bool):
 def _fwd_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
     """Forward butterfly with factored-twiddle support ([0, 4q) lazy)."""
     xr = jnp.where(x >= 2 * q, x - 2 * q, x)  # < 2q
-    v_at_u = _shift(x, amount, axis)
-    u_at_v = _shift(xr, -amount, axis)
+    v_at_u, u_at_v = _partners(x, xr, axis, amount)
     operand = jnp.where(mask, v_at_u, x)
     t = _tw_mul(operand, tw, q, lazy=True)  # < 2q
     return jnp.where(mask, xr + t, u_at_v + 2 * q - t)  # < 4q
@@ -285,8 +317,7 @@ def _fwd_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
 
 def _inv_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
     """Inverse (GS) butterfly with factored-twiddle support ([0, 2q))."""
-    v_at_u = _shift(x, amount, axis)
-    u_at_v = _shift(x, -amount, axis)
+    v_at_u, u_at_v = _partners(x, x, axis, amount)
     total = x + v_at_u
     total = jnp.where(total >= 2 * q, total - 2 * q, total)
     diff = u_at_v + 2 * q - x  # < 4q
@@ -311,8 +342,7 @@ def _fwd_stages_tw(x, tw_for_stage, q, n: int, r: int, c: int, lazy: bool):
         if lazy:
             x = _fwd_stage_lazy_tw(x, tw, q, axis, amount, mask)
             continue
-        v_at_u = _shift(x, amount, axis)
-        u_at_v = _shift(x, -amount, axis)
+        v_at_u, u_at_v = _partners(x, x, axis, amount)
         operand = jnp.where(mask, v_at_u, x)
         wv = _tw_mul(operand, tw, q, lazy=False)
         x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
@@ -439,8 +469,7 @@ def _ntt_kernel_fac(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
                 x, tw, q, axis, amount, mask
             )
             continue
-        v_at_u = _shift(x, amount, axis)
-        u_at_v = _shift(x, -amount, axis)
+        v_at_u, u_at_v = _partners(x, x, axis, amount)
         if inverse:
             total = _add_mod(x, v_at_u, q)
             diff = _sub_mod(u_at_v, x, q)
@@ -478,8 +507,7 @@ def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
                 return _inv_stage_lazy(x, w, wp, q, axis, amount, mask)
             if lazy:
                 return _fwd_stage_lazy(x, w, wp, q, axis, amount, mask)
-            v_at_u = _shift(x, amount, axis)  # x[p + d]
-            u_at_v = _shift(x, -amount, axis)  # x[p - d]
+            v_at_u, u_at_v = _partners(x, x, axis, amount)
             if inverse:
                 total = _add_mod(x, v_at_u, q)  # at u: x[u] + x[v]
                 diff = _sub_mod(u_at_v, x, q)  # at v: x[u] - x[v]
