@@ -9,6 +9,7 @@ single-limb Pallas branch.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from toy_heaan_ckks_tpu import (
     CkksContext,
@@ -68,14 +69,17 @@ def test_composite_accuracy_and_vs_sequential():
     np.testing.assert_allclose(out[: len(a)], seq_out[: len(a)], atol=1e-6)
 
 
-def test_generic_vs_lo_fast_bit_exact():
+@pytest.mark.parametrize("batch", [2, 4])
+def test_generic_vs_lo_fast_bit_exact(batch):
+    # batch=2/4 exercise the paired-grid-step kernel paths (pair follows
+    # the outer size in _auto_pair)
     degree = 1024  # pallas-supported size (interpret mode)
     ctx, eng, sk, pk, rlk = _setup(degree=degree, count=4, digit_size=2)
     plan = _switch_plan(ctx.moduli, rlk.ext_ctx.moduli, rlk.digit_size)
     args = [
         jnp.stack(
             [Poly.sample_uniform(ctx, make_rng(10 * s + i)).to_ntt_domain().data
-             for i in range(2)]
+             for i in range(batch)]
         )
         for s in range(4)
     ]

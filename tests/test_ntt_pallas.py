@@ -32,12 +32,15 @@ def test_pallas_matches_jnp_bit_exact(degree, count, bits):
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(p.data))
 
 
-def test_pallas_batched_lead_dims():
+@pytest.mark.parametrize("batch", [3, 4])
+def test_pallas_batched_lead_dims(batch):
+    # batch=3 -> outer 6 -> auto pair=2; batch=4 -> outer 8 -> auto
+    # pair=4 (the multi-plane grid-step path must stay bit-exact)
     degree = 1024
     primes = generate_primes(30, 2, degree)
     ctx = CkksContext.build(primes, degree)
     d = jnp.stack(
-        [Poly.sample_uniform(ctx, make_rng(s)).data for s in range(3)]
+        [Poly.sample_uniform(ctx, make_rng(s)).data for s in range(batch)]
     )
     ref = pops.forward_ntt(d, ctx.ntt, ctx.chain)
     pal = ntt_pallas(d, ctx.moduli, degree, inverse=False, interpret=True)

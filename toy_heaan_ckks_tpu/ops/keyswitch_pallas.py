@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ntt_pallas import (
     _add_mod,
-    _fwd_stages_tw,
+    _auto_pair,
+    _fwd_stages_tw_multi,
     _harvey_mul,
     _layout,
     _planes_cached,
@@ -112,7 +113,7 @@ def _switch_consts(base_moduli: tuple, ext_moduli: tuple, digit_size: int):
 def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
                n: int, r: int, c: int, num_digits: int,
                digit_size: int, num_base: int, lazy: bool, factored: bool,
-               j_offset: int = 0):
+               pair: int = 1, j_offset: int = 0):
     if factored:
         rw_ref, rwp_ref, lw_ref, lwp_ref, ka_ref, kb_ref, o0_ref, o1_ref = (
             rest
@@ -124,29 +125,39 @@ def _ks_kernel(q_ref, qinv_ref, c_ref, cs_ref, y_ref, *rest,
     j = pl.program_id(0) + j_offset
     q = q_ref[j, 0]
     qinv = qinv_ref[j, 0]
-    acc0 = jnp.zeros((r, c), jnp.uint32)
-    acc1 = jnp.zeros((r, c), jnp.uint32)
+    acc0 = [jnp.zeros((r, c), jnp.uint32) for _ in range(pair)]
+    acc1 = [jnp.zeros((r, c), jnp.uint32) for _ in range(pair)]
     for t in range(num_digits):
-        x = None
-        for gi in range(digit_size):
-            k = t * digit_size + gi
-            if k >= num_base:
-                break
-            term = _harvey_mul(
-                y_ref[0, k], c_ref[k, j], cs_ref[k, j], q
+        xs = []
+        for p in range(pair):
+            x = None
+            for gi in range(digit_size):
+                k = t * digit_size + gi
+                if k >= num_base:
+                    break
+                term = _harvey_mul(
+                    y_ref[p, k], c_ref[k, j], cs_ref[k, j], q
+                )
+                x = term if x is None else _add_mod(x, term, q)
+            xs.append(x)
+        # pair independent NTT chains (latency-bound serial stages)
+        xs = _fwd_stages_tw_multi(xs, get_tw, q, n, r, c, lazy)
+        for p in range(pair):
+            acc0[p] = _add_mod(
+                acc0[p], _mont_redc(xs[p], kb_ref[t, 0], q, qinv), q
             )
-            x = term if x is None else _add_mod(x, term, q)
-        x = _fwd_stages_tw(x, get_tw, q, n, r, c, lazy)
-        acc0 = _add_mod(acc0, _mont_redc(x, kb_ref[t, 0], q, qinv), q)
-        acc1 = _add_mod(acc1, _mont_redc(x, ka_ref[t, 0], q, qinv), q)
-    o0_ref[0, 0] = acc0
-    o1_ref[0, 0] = acc1
+            acc1[p] = _add_mod(
+                acc1[p], _mont_redc(xs[p], ka_ref[t, 0], q, qinv), q
+            )
+    for p in range(pair):
+        o0_ref[p, 0] = acc0[p]
+        o1_ref[p, 0] = acc1[p]
 
 
 def _ks_kernel_base(q_ref, qinv_ref, c_ref, cs_ref, y_ref, d_ref, *rest,
                     n: int, r: int, c: int, num_digits: int,
                     digit_size: int, num_base: int, lazy: bool,
-                    factored: bool):
+                    factored: bool, pair: int = 1):
     """Key-switch accumulation over the BASE channels (j < L), with the
     skip-own-tower shortcut: for digit t's own-group channel j, the raised
     digit is congruent to the switched polynomial d itself (the k != j
@@ -175,30 +186,47 @@ def _ks_kernel_base(q_ref, qinv_ref, c_ref, cs_ref, y_ref, d_ref, *rest,
             out = jnp.where(idx == t, ref[t, 0], out)
         return out
 
-    d = d_ref[0, 0]
-    acc0 = _mont_redc(d, sel_plane(kb_ref, own), q, qinv)
-    acc1 = _mont_redc(d, sel_plane(ka_ref, own), q, qinv)
+    acc0 = [
+        _mont_redc(d_ref[p, 0], sel_plane(kb_ref, own), q, qinv)
+        for p in range(pair)
+    ]
+    acc1 = [
+        _mont_redc(d_ref[p, 0], sel_plane(ka_ref, own), q, qinv)
+        for p in range(pair)
+    ]
     if num_digits > 1:
         terms = [
-            _harvey_mul(y_ref[0, k], c_ref[k, j], cs_ref[k, j], q)
-            for k in range(num_base)
+            [
+                _harvey_mul(y_ref[p, k], c_ref[k, j], cs_ref[k, j], q)
+                for k in range(num_base)
+            ]
+            for p in range(pair)
         ]
         zero = jnp.zeros((r, c), jnp.uint32)
         for tp in range(num_digits - 1):
             td = jnp.where(tp < own, tp, tp + 1)  # tp-th non-own digit
-            x = None
-            for k in range(num_base):
-                term = jnp.where(k // digit_size == td, terms[k], zero)
-                x = term if x is None else _add_mod(x, term, q)
-            x = _fwd_stages_tw(x, get_tw, q, n, r, c, lazy)
-            acc0 = _add_mod(
-                acc0, _mont_redc(x, sel_plane(kb_ref, td), q, qinv), q
-            )
-            acc1 = _add_mod(
-                acc1, _mont_redc(x, sel_plane(ka_ref, td), q, qinv), q
-            )
-    o0_ref[0, 0] = acc0
-    o1_ref[0, 0] = acc1
+            xs = []
+            for p in range(pair):
+                x = None
+                for k in range(num_base):
+                    term = jnp.where(
+                        k // digit_size == td, terms[p][k], zero
+                    )
+                    x = term if x is None else _add_mod(x, term, q)
+                xs.append(x)
+            xs = _fwd_stages_tw_multi(xs, get_tw, q, n, r, c, lazy)
+            for p in range(pair):
+                acc0[p] = _add_mod(
+                    acc0[p],
+                    _mont_redc(xs[p], sel_plane(kb_ref, td), q, qinv), q,
+                )
+                acc1[p] = _add_mod(
+                    acc1[p],
+                    _mont_redc(xs[p], sel_plane(ka_ref, td), q, qinv), q,
+                )
+    for p in range(pair):
+        o0_ref[p, 0] = acc0[p]
+        o1_ref[p, 0] = acc1[p]
 
 
 @functools.partial(
@@ -250,6 +278,9 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     ka = key_a[..., 0, :].reshape(D, E, r, c)
     kb = key_b[..., 0, :].reshape(D, E, r, c)
 
+    # pair-scaled planes per item: y (L) + d (1) + 2 outs + temps (~L+D)
+    pair = _auto_pair(outer, n, 2 * L + D + 3)
+
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
     )
@@ -266,10 +297,10 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
         memory_space=pltpu.VMEM,
     )
     y_spec = pl.BlockSpec(
-        (1, L, r, c), lambda j, o: (o, 0, 0, 0), memory_space=pltpu.VMEM
+        (pair, L, r, c), lambda j, o: (o, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, 1, r, c), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
+        (pair, 1, r, c), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
     )
     if factored:
         frw, frwp, flw, flwp = _planes_factored_cached(
@@ -286,13 +317,13 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
 
     common = dict(
         n=n, r=r, c=c, num_digits=D, digit_size=digit_size, num_base=L,
-        lazy=lazy_ok(ext_moduli), factored=factored,
+        lazy=lazy_ok(ext_moduli), factored=factored, pair=pair,
     )
 
     def call(kernel, n_ch: int, off: int, extra_specs, extra_args):
         return pl.pallas_call(
             kernel,
-            grid=(n_ch, outer),
+            grid=(n_ch, outer // pair),
             in_specs=[
                 smem((E, 1)), smem((E, 1)),
                 smem(cst.shape), smem(cst_s.shape),
@@ -314,7 +345,7 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     else:
         d = d_ntt.reshape(-1, L, r, c)
         d_spec = pl.BlockSpec(
-            (1, 1, r, c), lambda j, o: (o, j, 0, 0),
+            (pair, 1, r, c), lambda j, o: (o, j, 0, 0),
             memory_space=pltpu.VMEM,
         )
         b0, b1 = call(

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ntt_pallas import (
+    _auto_pair,
     _harvey_mul,
     _layout,
     _ntt_factored_call,
@@ -37,6 +38,7 @@ from .ntt_pallas import (
     _sub_mod,
     _add_mod,
     _fwd_stages_tw,
+    _fwd_stages_tw_multi,
     _tw_from_factors,
     _tw_from_planes,
     _use_factored,
@@ -134,42 +136,47 @@ def inv_ntt_to_yhat(x_dropped_lo, dropped_moduli: tuple,
 def _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
              yhat_ref, head_ref, t_ref, tw_refs, o_ref,
              n: int, r: int, c: int, n_dropped: int, lazy: bool,
-             factored: bool):
+             factored: bool, pair: int):
     if factored:
         get_tw = _tw_from_factors(*tw_refs, n, r, c)
     else:
         get_tw = _tw_from_planes(*tw_refs, r, c)
     j = pl.program_id(0)
     q = q_ref[j, 0]
-    ext = None
-    for m in range(n_dropped):
-        term = _harvey_mul(yhat_ref[0, m], c_ref[m, j], cs_ref[m, j], q)
-        ext = term if ext is None else _add_mod(ext, term, q)
-    ext = _fwd_stages_tw(ext, get_tw, q, n, r, c, lazy)
-    head = head_ref[0, 0]
-    if t_ref is not None:
-        tp = _harvey_mul(t_ref[0, 0], pm_ref[j, 0], pms_ref[j, 0], q)
-        head = _add_mod(head, tp, q)
-    diff = _sub_mod(head, ext, q)
-    o_ref[0, 0] = _harvey_mul(diff, pi_ref[j, 0], pis_ref[j, 0], q)
+    exts = []
+    for p in range(pair):
+        ext = None
+        for m in range(n_dropped):
+            term = _harvey_mul(yhat_ref[p, m], c_ref[m, j], cs_ref[m, j], q)
+            ext = term if ext is None else _add_mod(ext, term, q)
+        exts.append(ext)
+    # pair independent NTT chains per grid step (latency-bound stages)
+    exts = _fwd_stages_tw_multi(exts, get_tw, q, n, r, c, lazy)
+    for p in range(pair):
+        head = head_ref[p, 0]
+        if t_ref is not None:
+            tp = _harvey_mul(t_ref[p, 0], pm_ref[j, 0], pms_ref[j, 0], q)
+            head = _add_mod(head, tp, q)
+        diff = _sub_mod(head, exts[p], q)
+        o_ref[p, 0] = _harvey_mul(diff, pi_ref[j, 0], pis_ref[j, 0], q)
 
 
 def _md_kernel_no_t(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
                     yhat_ref, head_ref, *rest,
-                    n, r, c, n_dropped, lazy, factored):
+                    n, r, c, n_dropped, lazy, factored, pair):
     *tw_refs, o_ref = rest
     _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
              yhat_ref, head_ref, None, tw_refs, o_ref,
-             n, r, c, n_dropped, lazy, factored)
+             n, r, c, n_dropped, lazy, factored, pair)
 
 
 def _md_kernel_t(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
                  yhat_ref, head_ref, t_ref, *rest,
-                 n, r, c, n_dropped, lazy, factored):
+                 n, r, c, n_dropped, lazy, factored, pair):
     *tw_refs, o_ref = rest
     _md_core(q_ref, c_ref, cs_ref, pm_ref, pms_ref, pi_ref, pis_ref,
              yhat_ref, head_ref, t_ref, tw_refs, o_ref,
-             n, r, c, n_dropped, lazy, factored)
+             n, r, c, n_dropped, lazy, factored, pair)
 
 
 @functools.partial(
@@ -202,21 +209,24 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
     factored = _use_factored(degree)
 
     has_t = t is not None
+    # pair-scaled planes per item: yhat (G) + head + t? + ext temp + out
+    pair = _auto_pair(outer, n, G + 3 + (1 if has_t else 0))
     kernel = functools.partial(
         _md_kernel_t if has_t else _md_kernel_no_t,
         n=n, r=r, c=cdim, n_dropped=G, lazy=lazy_ok(child_moduli),
-        factored=factored,
+        factored=factored, pair=pair,
     )
 
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM
     )
     data = lambda nch: pl.BlockSpec(
-        (1, nch, r, cdim), lambda j, o: (o, 0, 0, 0),
+        (pair, nch, r, cdim), lambda j, o: (o, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     per_ch = lambda: pl.BlockSpec(
-        (1, 1, r, cdim), lambda j, o: (o, j, 0, 0), memory_space=pltpu.VMEM
+        (pair, 1, r, cdim), lambda j, o: (o, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     plane = lambda: pl.BlockSpec(
         (1, s_count, r, cdim), lambda j, o: (j, 0, 0, 0),
@@ -249,7 +259,7 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
 
     out = pl.pallas_call(
         kernel,
-        grid=(Lc, outer),
+        grid=(Lc, outer // pair),
         in_specs=in_specs,
         out_specs=per_ch(),
         out_shape=jax.ShapeDtypeStruct((outer, Lc, r, cdim), jnp.uint32),

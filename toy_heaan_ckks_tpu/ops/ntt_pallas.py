@@ -325,30 +325,67 @@ def _inv_stage_lazy_tw(x, tw, q, axis: int, amount: int, mask):
     return jnp.where(mask, total, t)
 
 
-def _fwd_stages_tw(x, tw_for_stage, q, n: int, r: int, c: int, lazy: bool):
-    """All forward butterfly stages on a VMEM-resident plane.
+def _fwd_stages_tw_multi(xs, tw_for_stage, q, n: int, r: int, c: int,
+                         lazy: bool):
+    """All forward butterfly stages on MANY VMEM-resident planes.
 
     ``tw_for_stage(s)`` returns the stage's twiddle as a ``(rw, rwp, lw,
     lwp)`` tuple (``lw is None`` -> single Harvey by ``rw``, which may be a
     full (r, c) plane or an (r, 1) row factor). Shared by the fused
     key-switch and mod-down kernels so both the expanded-plane (N <= 2^15)
     and factored row x lane (N = 2^16) twiddle forms drive the same
-    butterfly arithmetic. Output canonical [0, q).
+    butterfly arithmetic. Stage-outer, plane-inner: the planes are
+    independent dependency chains the scheduler interleaves (the serial
+    stage chain on one plane is latency-bound). Output canonical [0, q).
     """
     for s in range(n.bit_length() - 1):
         d = n >> (s + 1)
         axis, amount, mask = _butterfly_args(n, r, c, d)
         tw = tw_for_stage(s)
         if lazy:
-            x = _fwd_stage_lazy_tw(x, tw, q, axis, amount, mask)
+            xs = [
+                _fwd_stage_lazy_tw(x, tw, q, axis, amount, mask) for x in xs
+            ]
             continue
-        v_at_u, u_at_v = _partners(x, x, axis, amount)
-        operand = jnp.where(mask, v_at_u, x)
-        wv = _tw_mul(operand, tw, q, lazy=False)
-        x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
+
+        def plain(x):
+            v_at_u, u_at_v = _partners(x, x, axis, amount)
+            operand = jnp.where(mask, v_at_u, x)
+            wv = _tw_mul(operand, tw, q, lazy=False)
+            return jnp.where(
+                mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q)
+            )
+
+        xs = [plain(x) for x in xs]
     if lazy:
-        x = _reduce_2q_q(x, q)  # canonical into whatever consumes the plane
-    return x
+        xs = [_reduce_2q_q(x, q) for x in xs]  # canonical for consumers
+    return xs
+
+
+def _fwd_stages_tw(x, tw_for_stage, q, n: int, r: int, c: int, lazy: bool):
+    """Single-plane wrapper of ``_fwd_stages_tw_multi``."""
+    return _fwd_stages_tw_multi([x], tw_for_stage, q, n, r, c, lazy)[0]
+
+
+def _auto_pair(outer: int, degree: int, planes_per_item: int,
+               env: str = "CKKS_FUSED_PAIR") -> int:
+    """Items-per-grid-step pairing for the fused composite kernels.
+
+    Largest p in {4, 2, 1} dividing ``outer`` whose pair-scaled VMEM
+    footprint (``planes_per_item`` N-point u32 planes per item) stays
+    under ~6 MB — the same latency-bound-stage-chain argument as the
+    standalone kernel's multi-plane grid steps (measured ~10%/channel-NTT
+    there). ``env`` overrides (0/1 disables)."""
+    v = os.environ.get(env)
+    if v:
+        p = int(v)
+        return p if p >= 1 and outer % p == 0 else 1
+    budget = 6 * (1 << 20)
+    plane = degree * 4
+    for p in (4, 2):
+        if outer % p == 0 and p * planes_per_item * plane <= budget:
+            return p
+    return 1
 
 
 def _tw_from_planes(w_ref, wp_ref, r: int, c: int):
@@ -547,7 +584,15 @@ def _ntt_planes_call(lo, w_planes, wp_planes, q, ninv, ninvp, *, degree: int,
     x = lo.reshape(-1, L, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
-    pair = int(os.environ.get("CKKS_NTT_PAIR", "1"))
+    # multi-plane grid steps: the 14 serial stages on one plane are
+    # latency-bound; independent planes give the scheduler parallel
+    # dependency chains (measured ~10% per-channel-NTT win at pair=4,
+    # N=2^14; 8/16 regress on VMEM pressure)
+    pair_env = os.environ.get("CKKS_NTT_PAIR")
+    if pair_env:
+        pair = int(pair_env)
+    else:
+        pair = 4 if outer % 4 == 0 else (2 if outer % 2 == 0 else 1)
     if pair < 1 or outer % pair:
         pair = 1
 
