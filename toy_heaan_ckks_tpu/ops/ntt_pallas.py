@@ -484,10 +484,11 @@ def _planes_factored_cached(moduli: tuple[int, ...], degree: int):
 
 def _ntt_kernel_fac(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
                     lw_ref, lwp_ref, o_ref,
-                    *, n: int, r: int, c: int, inverse: bool, lazy: bool):
+                    *, n: int, r: int, c: int, inverse: bool, lazy: bool,
+                    pair: int = 1):
     ch = pl.program_id(0)
     q = q_ref[ch, 0]
-    x = x_ref[0, 0]
+    xs = [x_ref[p, 0] for p in range(pair)]
     s_count = n.bit_length() - 1
     stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
     for s in stage_order:
@@ -501,25 +502,32 @@ def _ntt_kernel_fac(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
         else:
             tw = (rw, rwp, lw_ref[0, s].reshape(1, c),
                   lwp_ref[0, s].reshape(1, c))
-        if lazy:
-            x = (_inv_stage_lazy_tw if inverse else _fwd_stage_lazy_tw)(
-                x, tw, q, axis, amount, mask
-            )
-            continue
-        v_at_u, u_at_v = _partners(x, x, axis, amount)
-        if inverse:
-            total = _add_mod(x, v_at_u, q)
-            diff = _sub_mod(u_at_v, x, q)
-            x = jnp.where(mask, total, _tw_mul(diff, tw, q, lazy=False))
-        else:
+
+        def stage(x):
+            if lazy:
+                return (_inv_stage_lazy_tw if inverse else
+                        _fwd_stage_lazy_tw)(x, tw, q, axis, amount, mask)
+            v_at_u, u_at_v = _partners(x, x, axis, amount)
+            if inverse:
+                total = _add_mod(x, v_at_u, q)
+                diff = _sub_mod(u_at_v, x, q)
+                return jnp.where(
+                    mask, total, _tw_mul(diff, tw, q, lazy=False)
+                )
             operand = jnp.where(mask, v_at_u, x)
             wv = _tw_mul(operand, tw, q, lazy=False)
-            x = jnp.where(mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q))
-    if inverse:
-        x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
-    elif lazy:
-        x = _reduce_2q_q(x, q)
-    o_ref[0, 0] = x
+            return jnp.where(
+                mask, _add_mod(x, wv, q), _sub_mod(u_at_v, wv, q)
+            )
+
+        xs = [stage(x) for x in xs]
+    for p in range(pair):
+        x = xs[p]
+        if inverse:
+            x = _harvey_mul(x, ninv_ref[ch, 0], ninvp_ref[ch, 0], q)
+        elif lazy:
+            x = _reduce_2q_q(x, q)
+        o_ref[p, 0] = x
 
 
 def _ntt_kernel(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
@@ -650,15 +658,21 @@ def _ntt_factored_call(lo, rw, rwp, lw, lwp, q, ninv, ninvp, *, degree: int,
     x = lo.reshape(-1, L, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
+    # multi-plane grid steps, same latency-bound-stage-chain argument as
+    # _ntt_planes_call; factored twiddles are tiny, so only the data planes
+    # and stage temporaries (~6 planes/item) count against VMEM
+    pair = _auto_pair(outer, n, 6, env="CKKS_NTT_PAIR")
 
     kernel = functools.partial(
-        _ntt_kernel_fac, n=n, r=r, c=c, inverse=inverse, lazy=lazy
+        _ntt_kernel_fac, n=n, r=r, c=c, inverse=inverse, lazy=lazy,
+        pair=pair,
     )
     smem = lambda: pl.BlockSpec(
         (L, 1), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
     )
     data_spec = lambda: pl.BlockSpec(
-        (1, 1, r, c), lambda ch, o: (o, ch, 0, 0), memory_space=pltpu.VMEM
+        (pair, 1, r, c), lambda ch, o: (o, ch, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     fac_spec = lambda dim: pl.BlockSpec(
         (1, s_count, dim), lambda ch, o: (ch, 0, 0),
@@ -666,7 +680,7 @@ def _ntt_factored_call(lo, rw, rwp, lw, lwp, q, ninv, ninvp, *, degree: int,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(L, outer),
+        grid=(L, outer // pair),
         in_specs=[
             smem(), smem(), smem(),
             data_spec(),

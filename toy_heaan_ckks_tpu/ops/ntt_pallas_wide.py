@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ntt_pallas import _butterfly_args, _layout, _shift
+from .ntt_pallas import _auto_pair, _butterfly_args, _layout, _shift
 from .u64 import add64, geq64, mul64_128, mullo64, select64, sub64
 
 
@@ -168,11 +168,15 @@ def _inv_stage_lazy64(x, tw, q, two_q, axis: int, amount: int, mask):
 
 
 def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
-                     *, n: int, r: int, c: int, inverse: bool, lazy: bool):
+                     *, n: int, r: int, c: int, inverse: bool, lazy: bool,
+                     pair: int = 1):
+    """``pair`` > 1 processes that many independent limb-pair planes per
+    grid step (same twiddles) — the serial stage chain on one plane is
+    latency-bound, so independent dependency chains interleave."""
     ch = pl.program_id(0)
     q = (q_ref[ch, 0], q_ref[ch, 1])
     two_q = add64(q, q)
-    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    xs = [(x_ref[p, 0, 0], x_ref[p, 0, 1]) for p in range(pair)]
     s_count = n.bit_length() - 1
     stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
     for s in stage_order:
@@ -181,35 +185,41 @@ def _ntt_kernel_wide(q_ref, ninv_ref, ninvp_ref, x_ref, w_ref, wp_ref, o_ref,
         w = (w_ref[0, s, 0], w_ref[0, s, 1])
         wp = (wp_ref[0, s, 0], wp_ref[0, s, 1])
         tw = (w, wp, None, None)
-        if lazy:
-            x = (_inv_stage_lazy64 if inverse else _fwd_stage_lazy64)(
-                x, tw, q, two_q, axis, amount, mask
+
+        def stage(x):
+            if lazy:
+                return (_inv_stage_lazy64 if inverse else
+                        _fwd_stage_lazy64)(x, tw, q, two_q, axis, amount,
+                                           mask)
+            shift2 = lambda v, a: (
+                _shift(v[0], a, axis), _shift(v[1], a, axis)
             )
-            continue
-        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
-        v_at_u = shift2(x, amount)
-        u_at_v = shift2(x, -amount)
-        if inverse:
-            total = _add_mod64(x, v_at_u, q)
-            diff = _sub_mod64(u_at_v, x, q)
-            wv = _harvey64(diff, w, wp, q)
-            x = select64(mask, total, wv)
-        else:
+            v_at_u = shift2(x, amount)
+            u_at_v = shift2(x, -amount)
+            if inverse:
+                total = _add_mod64(x, v_at_u, q)
+                diff = _sub_mod64(u_at_v, x, q)
+                wv = _harvey64(diff, w, wp, q)
+                return select64(mask, total, wv)
             operand = select64(mask, v_at_u, x)
             wv = _harvey64(operand, w, wp, q)
-            x = select64(
+            return select64(
                 mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q)
             )
-    if inverse:
-        # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
-        # canonicalises to [0, q) in both modes
-        ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
-        ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
-        x = _harvey64(x, ninv, ninvp, q)
-    elif lazy:
-        x = _reduce_4q_q64(x, q, two_q)
-    o_ref[0, 0, 0] = x[0]
-    o_ref[0, 0, 1] = x[1]
+
+        xs = [stage(x) for x in xs]
+    for p in range(pair):
+        x = xs[p]
+        if inverse:
+            # lazy stages keep [0, 2q); the full Harvey multiply by N^{-1}
+            # canonicalises to [0, q) in both modes
+            ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
+            ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
+            x = _harvey64(x, ninv, ninvp, q)
+        elif lazy:
+            x = _reduce_4q_q64(x, q, two_q)
+        o_ref[p, 0, 0] = x[0]
+        o_ref[p, 0, 1] = x[1]
 
 
 # ── factored row x lane twiddles (N > 2^14; see ntt_pallas.py for the
@@ -343,11 +353,11 @@ def _tw_from_factors_wide(rw_ref, rwp_ref, lw_ref, lwp_ref, n: int, r: int,
 def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
                          lw_ref, lwp_ref, o_ref,
                          *, n: int, r: int, c: int, inverse: bool,
-                         lazy: bool):
+                         lazy: bool, pair: int = 1):
     ch = pl.program_id(0)
     q = (q_ref[ch, 0], q_ref[ch, 1])
     two_q = add64(q, q)
-    x = (x_ref[0, 0, 0], x_ref[0, 0, 1])
+    xs = [(x_ref[p, 0, 0], x_ref[p, 0, 1]) for p in range(pair)]
     get_tw = _tw_from_factors_wide(rw_ref, rwp_ref, lw_ref, lwp_ref, n, r, c)
     s_count = n.bit_length() - 1
     stage_order = range(s_count - 1, -1, -1) if inverse else range(s_count)
@@ -355,33 +365,39 @@ def _ntt_kernel_fac_wide(q_ref, ninv_ref, ninvp_ref, x_ref, rw_ref, rwp_ref,
         d = n >> (s + 1)
         axis, amount, mask = _butterfly_args(n, r, c, d)
         tw = get_tw(s)
-        if lazy:
-            x = (_inv_stage_lazy64 if inverse else _fwd_stage_lazy64)(
-                x, tw, q, two_q, axis, amount, mask
+
+        def stage(x):
+            if lazy:
+                return (_inv_stage_lazy64 if inverse else
+                        _fwd_stage_lazy64)(x, tw, q, two_q, axis, amount,
+                                           mask)
+            shift2 = lambda v, a: (
+                _shift(v[0], a, axis), _shift(v[1], a, axis)
             )
-            continue
-        shift2 = lambda v, a: (_shift(v[0], a, axis), _shift(v[1], a, axis))
-        v_at_u = shift2(x, amount)
-        u_at_v = shift2(x, -amount)
-        if inverse:
-            total = _add_mod64(x, v_at_u, q)
-            diff = _sub_mod64(u_at_v, x, q)
-            wv = _tw_mul64(diff, tw, q)
-            x = select64(mask, total, wv)
-        else:
+            v_at_u = shift2(x, amount)
+            u_at_v = shift2(x, -amount)
+            if inverse:
+                total = _add_mod64(x, v_at_u, q)
+                diff = _sub_mod64(u_at_v, x, q)
+                wv = _tw_mul64(diff, tw, q)
+                return select64(mask, total, wv)
             operand = select64(mask, v_at_u, x)
             wv = _tw_mul64(operand, tw, q)
-            x = select64(
+            return select64(
                 mask, _add_mod64(x, wv, q), _sub_mod64(u_at_v, wv, q)
             )
-    if inverse:
-        ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
-        ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
-        x = _harvey64(x, ninv, ninvp, q)
-    elif lazy:
-        x = _reduce_4q_q64(x, q, two_q)
-    o_ref[0, 0, 0] = x[0]
-    o_ref[0, 0, 1] = x[1]
+
+        xs = [stage(x) for x in xs]
+    for p in range(pair):
+        x = xs[p]
+        if inverse:
+            ninv = (ninv_ref[ch, 0], ninv_ref[ch, 1])
+            ninvp = (ninvp_ref[ch, 0], ninvp_ref[ch, 1])
+            x = _harvey64(x, ninv, ninvp, q)
+        elif lazy:
+            x = _reduce_4q_q64(x, q, two_q)
+        o_ref[p, 0, 0] = x[0]
+        o_ref[p, 0, 1] = x[1]
 
 
 @functools.partial(
@@ -404,16 +420,19 @@ def _ntt_factored_wide(data, moduli: tuple, degree: int, inverse: bool,
     x = data.reshape(-1, L, 2, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
+    # 2-limb planes: ~12 u32 planes of live state per item (in+out+stage
+    # temporaries, two limbs each); factored twiddles are negligible
+    pair = _auto_pair(outer, n, 12, env="CKKS_NTT_PAIR")
 
     kernel = functools.partial(
         _ntt_kernel_fac_wide, n=n, r=r, c=c, inverse=inverse,
-        lazy=lazy_ok_wide(moduli),
+        lazy=lazy_ok_wide(moduli), pair=pair,
     )
     smem = lambda: pl.BlockSpec(
         (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
     )
     data_spec = lambda: pl.BlockSpec(
-        (1, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
+        (pair, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     fac_spec = lambda dim: pl.BlockSpec(
@@ -422,7 +441,7 @@ def _ntt_factored_wide(data, moduli: tuple, degree: int, inverse: bool,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(L, outer),
+        grid=(L, outer // pair),
         in_specs=[
             smem(), smem(), smem(),
             data_spec(),
@@ -459,16 +478,19 @@ def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
     x = data.reshape(-1, L, 2, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
+    # expanded twiddle planes already cost ~4 S-stage planes of VMEM per
+    # channel; budget the pair on the ~12 live u32 planes per 2-limb item
+    pair = _auto_pair(outer, n, 12, env="CKKS_NTT_PAIR")
 
     kernel = functools.partial(
         _ntt_kernel_wide, n=n, r=r, c=c, inverse=inverse,
-        lazy=lazy_ok_wide(moduli),
+        lazy=lazy_ok_wide(moduli), pair=pair,
     )
     smem = lambda: pl.BlockSpec(
         (L, 2), lambda ch, o: (0, 0), memory_space=pltpu.SMEM
     )
     data_spec = lambda: pl.BlockSpec(
-        (1, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
+        (pair, 1, 2, r, c), lambda ch, o: (o, ch, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     plane_spec = lambda: pl.BlockSpec(
@@ -477,7 +499,7 @@ def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(L, outer),
+        grid=(L, outer // pair),
         in_specs=[
             smem(),
             smem(),
