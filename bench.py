@@ -127,7 +127,11 @@ def _measure(degree: int, num_primes: int, bits: int, digit_size: int,
                 a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, child,
                 digit_size=digit_size,
             )
-            return out[0]
+            # fold BOTH output components into the carry: a c1 component
+            # that never escapes the loop body is dead code, and XLA
+            # elides its entire mod-down (pallas kernels included) —
+            # which would overstate throughput by ~25%
+            return out[0].at[0, 0, 0, 0].add(out[1][0, 0, 0, 0])
 
         init = jnp.zeros(
             (batch, num_primes - 1, 2, degree), dtype=jnp.uint32

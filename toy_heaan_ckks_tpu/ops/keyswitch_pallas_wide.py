@@ -475,6 +475,40 @@ def inv_ntt_to_yhat_wide(x_dropped, dropped_moduli: tuple,
         tuple(child_moduli), tuple(dropped_moduli), degree
     )
     yfin, yfin_s = consts[8], consts[9]
+    return _inv_fold_call_wide(
+        x_dropped, tuple(dropped_moduli), degree, yfin, yfin_s, interpret
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _fold_consts_wide(moduli: tuple, degree: int, post: tuple):
+    """Folded inverse-NTT final constants (R = 2^64): one Harvey by
+    N^{-1} * post_k * R^{-1} mod q_k emits mont_mul(iNTT(x), post)."""
+    fin = np.zeros((len(moduli), 2), dtype=np.uint32)
+    fin_s = np.zeros((len(moduli), 2), dtype=np.uint32)
+    for k, q in enumerate(moduli):
+        w = (
+            pow(degree, -1, q) * (post[k] % q) * pow(1 << 64, -1, q)
+        ) % q
+        fin[k] = _split2(w)
+        fin_s[k] = _split2(_shoup64(w, q))
+    return fin, fin_s
+
+
+def inv_ntt_fold_wide(x, moduli: tuple, degree: int, post: tuple,
+                      interpret: bool = False):
+    """Wide inverse NTT with plain per-channel post-factors folded into
+    the final constant: bit-exact with
+    ``mont_mul(ntt_pallas_wide(x, inverse=True), post)`` in one kernel."""
+    moduli = tuple(int(m) for m in moduli)
+    fin, fin_s = _fold_consts_wide(
+        moduli, degree, tuple(int(p) for p in post)
+    )
+    return _inv_fold_call_wide(x, moduli, degree, fin, fin_s, interpret)
+
+
+def _inv_fold_call_wide(x_dropped, dropped_moduli: tuple, degree: int,
+                        yfin, yfin_s, interpret: bool = False):
     factored = _use_factored_wide(degree)
     n = degree
     r, c = _layout(n)

@@ -15,8 +15,11 @@ Everything here assumes Montgomery radix 2^32 and is dispatched only when
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..context import CkksContext
 from .ntt_pallas import (
@@ -85,6 +88,68 @@ def ntt_lo(a_lo, moduli: tuple, degree: int, inverse: bool,
     )
 
 
+@functools.lru_cache(maxsize=128)
+def _fold_consts(moduli: tuple, degree: int, post: tuple):
+    """Folded inverse-NTT final constants: the kernel's pre-final
+    accumulator is Mont(c * N), so one Harvey multiply by
+    N^{-1} * post_k * R^{-1} mod q_k emits mont_mul(iNTT(x), post) directly
+    — the trailing elementwise pass costs nothing."""
+    w = np.zeros((len(moduli), 1), np.uint32)
+    wp = np.zeros((len(moduli), 1), np.uint32)
+    for k, q in enumerate(moduli):
+        v = (
+            pow(degree, -1, q) * (post[k] % q) * pow(1 << 32, -1, q)
+        ) % q
+        w[k, 0] = v
+        wp[k, 0] = (v << 32) // q
+    return w, wp
+
+
+def inv_ntt_fold(x_lo, moduli: tuple, degree: int, post: tuple,
+                 interpret: bool = False):
+    """Inverse NTT with plain per-channel post-factors folded into the
+    final kernel constant: bit-exact with
+    ``mont_mul_lo(ntt_lo(x, inverse=True), post)`` in ONE kernel pass.
+
+    ``post``: tuple of plain ints per channel (e.g. the switch plan's
+    dec_inv, a mod-down's sp_inv, or 1 to de-Montgomery).
+    """
+    moduli = tuple(int(m) for m in moduli)
+    w, wp = _fold_consts(moduli, degree, tuple(int(p) for p in post))
+    if _use_factored(degree):
+        tabs = _planes_factored_cached(moduli, degree)
+        irw, irwp, ilw, ilwp, q = tabs[4], tabs[5], tabs[6], tabs[7], tabs[8]
+        return _ntt_factored_call(
+            x_lo, irw, irwp, ilw, ilwp, q, w, wp,
+            degree=degree, inverse=True, interpret=interpret,
+            lazy=lazy_ok(moduli),
+        )
+    _, _, inv_w, inv_wp, q, _, _ = _planes_cached(moduli, degree)
+    return _ntt_planes_call(
+        x_lo, inv_w, inv_wp, q, w, wp,
+        degree=degree, inverse=True, interpret=interpret,
+        lazy=lazy_ok(moduli),
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _dec_inv_ints(moduli: tuple, digit_size: int) -> tuple:
+    """Plain (Qhat_{t,k})^{-1} mod q_k per channel (engine._switch_plan's
+    dec_inv as host ints, recomputed here so the fold constants never
+    touch traced arrays)."""
+    from ..keys import digit_groups
+
+    out = [0] * len(moduli)
+    for grp in digit_groups(len(moduli), min(digit_size, len(moduli))):
+        for k in grp:
+            qhat = 1
+            for k2 in grp:
+                if k2 != k:
+                    qhat *= moduli[k2]
+            out[k] = pow(qhat % moduli[k], -1, moduli[k])
+    return tuple(out)
+
+
 # ── composites ───────────────────────────────────────────────────────────────
 
 
@@ -93,12 +158,12 @@ def rescale_ntt_lo(x, ctx: CkksContext, interpret: bool = False):
     num = x.shape[-2]
     child = ctx.drop_last(1)
     last_ctx = ctx.slice_channels(num - 1, num)
-    lc, cc = last_ctx.chain, child.chain
+    cc = child.chain
 
-    last = ntt_lo(
-        x[..., num - 1 :, :], last_ctx.moduli, ctx.degree, True, interpret
+    # de-Montgomery (post=1) folds into the iNTT final constant
+    plain = inv_ntt_fold(
+        x[..., num - 1 :, :], last_ctx.moduli, ctx.degree, (1,), interpret
     )
-    plain = mont_mul_lo(last, jnp.uint32(1), _lo(lc.q), _lo(lc.qinv))
     bcast = jnp.broadcast_to(plain, x.shape[:-2] + (num - 1, x.shape[-1]))
     mont = mont_mul_lo(bcast, _lo(cc.r2), _lo(cc.q), _lo(cc.qinv))
     x_ntt = ntt_lo(mont, child.moduli, ctx.degree, False, interpret)
@@ -113,10 +178,18 @@ def mod_down_lo(x, ctx: CkksContext, ext_ctx: CkksContext, plan,
     E = x.shape[-2]
     gp = E - L
     sp_ctx = ext_ctx.slice_channels(L, E)
-    spc, bc = sp_ctx.chain, ctx.chain
+    bc = ctx.chain
 
-    x_sp = ntt_lo(x[..., L:, :], sp_ctx.moduli, ctx.degree, True, interpret)
-    yhat = mont_mul_lo(x_sp, _lo(plan.sp_inv), _lo(spc.q), _lo(spc.qinv))
+    specials = tuple(int(m) for m in sp_ctx.moduli)
+    p_total = 1
+    for p in specials:
+        p_total *= p
+    sp_inv = tuple(
+        pow((p_total // pm) % pm, -1, pm) for pm in specials
+    )
+    yhat = inv_ntt_fold(
+        x[..., L:, :], specials, ctx.degree, sp_inv, interpret
+    )
     acc = None
     for m in range(gp):
         term = mont_mul_lo(
@@ -153,8 +226,14 @@ def mul_relin_rescale_lo(c0a, c1a, c0b, c1b, key_a, key_b,
     )
     t2 = mont_mul_lo(c1a, c1b, q, qinv)
 
-    d_coeff = ntt_lo(t2, ctx.moduli, ctx.degree, True, interpret)
-    y = mont_mul_lo(d_coeff, _lo(plan.dec_inv), q, qinv)  # plain yhat
+    # fusing t0/t1/t2 + this iNTT into one Pallas kernel was measured on
+    # chip at parity (the composite is VMEM-roll-latency-bound, not
+    # HBM-bound) — XLA already multi-output-fuses the tensor passes
+    moduli = tuple(int(m) for m in ctx.moduli)
+    y = inv_ntt_fold(  # plain yhat: dec_inv folded into the iNTT constant
+        t2, moduli, ctx.degree,
+        _dec_inv_ints(moduli, plan.digit_size), interpret,
+    )
     ks0, ks1 = gadget_accumulate_pallas(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
@@ -201,11 +280,13 @@ def key_switch_lo(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
     from .keyswitch_pallas import gadget_accumulate_pallas
     from .moddown_pallas import inv_ntt_to_yhat, mod_down_combine_pallas
 
-    bc = ctx.chain
     L = len(ctx.moduli)
     specials = ext_ctx.moduli[L:]
-    d_coeff = ntt_lo(d, ctx.moduli, ctx.degree, True, interpret)
-    y = mont_mul_lo(d_coeff, _lo(plan.dec_inv), _lo(bc.q), _lo(bc.qinv))
+    moduli = tuple(int(m) for m in ctx.moduli)
+    y = inv_ntt_fold(
+        d, moduli, ctx.degree,
+        _dec_inv_ints(moduli, plan.digit_size), interpret,
+    )
     ks0, ks1 = gadget_accumulate_pallas(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,

@@ -25,10 +25,22 @@ from . import modular as mm
 from .poly import _chain_slice
 from .keyswitch_pallas_wide import (
     gadget_accumulate_pallas_wide,
+    inv_ntt_fold_wide,
     inv_ntt_to_yhat_wide,
     mod_down_combine_pallas_wide,
 )
-from .ntt_pallas_wide import ntt_pallas_wide
+
+
+def _y_fold_wide(d_ntt, ctx: CkksContext, plan, interpret: bool):
+    """Plain decomposition residues y = mont_mul(iNTT(d), dec_inv) with
+    the dec_inv multiply folded into the wide iNTT's final constant."""
+    from .small_fast import _dec_inv_ints
+
+    moduli = tuple(int(m) for m in ctx.moduli)
+    return inv_ntt_fold_wide(
+        d_ntt, moduli, ctx.degree,
+        _dec_inv_ints(moduli, plan.digit_size), interpret,
+    )
 
 
 def mul_relin_rescale_wide(c0a, c1a, c0b, c1b, key_a, key_b,
@@ -52,9 +64,7 @@ def mul_relin_rescale_wide(c0a, c1a, c0b, c1b, key_a, key_b,
     )
     t2 = mm.mont_mul(c1a, c1b, bc)
 
-    d_coeff = ntt_pallas_wide(t2, ctx.moduli, ctx.degree, inverse=True,
-                              interpret=interpret)
-    y = mm.mont_mul(d_coeff, plan.dec_inv, bc)  # plain yhat
+    y = _y_fold_wide(t2, ctx, plan, interpret)  # plain yhat, one kernel
     ks0, ks1 = gadget_accumulate_pallas_wide(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
@@ -101,12 +111,9 @@ def mul_relin_rescale_wide(c0a, c1a, c0b, c1b, key_a, key_b,
 def key_switch_wide(d, key_a, key_b, ctx: CkksContext, ext_ctx: CkksContext,
                     plan, interpret: bool = False):
     """Hybrid gadget key switch of NTT-domain limb data (..., L, 2, N)."""
-    bc = ctx.chain
     L = len(ctx.moduli)
     specials = ext_ctx.moduli[L:]
-    d_coeff = ntt_pallas_wide(d, ctx.moduli, ctx.degree, inverse=True,
-                              interpret=interpret)
-    y = mm.mont_mul(d_coeff, plan.dec_inv, bc)
+    y = _y_fold_wide(d, ctx, plan, interpret)
     ks0, ks1 = gadget_accumulate_pallas_wide(
         y, key_a, key_b,
         base_moduli=ctx.moduli, ext_moduli=ext_ctx.moduli,
