@@ -101,3 +101,78 @@ def test_full_level_key_on_rescaled_ct_raises():
     ct = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ca, ca, rlk))
     with pytest.raises(ChannelCountMismatch):
         eng.mul_ciphertexts_gadget(ct, ct, rlk)
+
+
+# ── round-2 advisor findings ────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "degree,bits",
+    [
+        (1 << 10, 31),  # expanded-plane layout
+        (1 << 16, 29),  # factored row x lane layout (N > 2^15)
+    ],
+)
+def test_inv_ntt_fold_matches_two_pass_small(degree, bits):
+    """ADVICE r2 low: pin inv_ntt_fold == mont_mul_lo(iNTT(x), post)
+    directly (uint32 equality), with a non-trivial post factor, on BOTH
+    the expanded-plane and the factored twiddle layouts."""
+    import jax.numpy as jnp
+
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.ops import small_fast as sf
+    from toy_heaan_ckks_tpu.ops.ntt_pallas import _use_factored
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+
+    assert _use_factored(degree) == (degree > 1 << 15)
+    ctx = CkksContext.build(generate_primes(bits, 2, degree), degree)
+    moduli = tuple(int(m) for m in ctx.moduli)
+    post = tuple((q - 1) // 3 for q in moduli)  # non-trivial, distinct
+    x = Poly.sample_uniform(ctx, make_rng(3)).to_ntt_domain().data[..., 0, :]
+
+    got = sf.inv_ntt_fold(x, moduli, degree, post, interpret=True)
+    ref = sf.mont_mul_lo(
+        sf.ntt_lo(x, moduli, degree, inverse=True, interpret=True),
+        jnp.asarray(np.array(post, np.uint32))[:, None],
+        sf._lo(ctx.chain.q),
+        sf._lo(ctx.chain.qinv),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize(
+    "degree,bits",
+    [
+        (1 << 11, 61),  # expanded-plane layout (wide caps at 2^14)
+        (1 << 15, 61),  # factored layout (N > 2^14 on the wide path)
+    ],
+)
+def test_inv_ntt_fold_wide_matches_two_pass(degree, bits):
+    """ADVICE r2 low: same pin for the 2-limb path, both layouts."""
+    from toy_heaan_ckks_tpu.engine import _pack_u64_cols
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.ops import modular as mm
+    from toy_heaan_ckks_tpu.ops.keyswitch_pallas_wide import (
+        inv_ntt_fold_wide,
+    )
+    from toy_heaan_ckks_tpu.ops.ntt_pallas_wide import (
+        _use_factored_wide,
+        ntt_pallas_wide,
+    )
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+
+    assert _use_factored_wide(degree) == (degree > 1 << 14)
+    ctx = CkksContext.build(generate_primes(bits, 2, degree), degree)
+    moduli = tuple(int(m) for m in ctx.moduli)
+    post = tuple((q - 1) // 3 for q in moduli)
+    x = Poly.sample_uniform(ctx, make_rng(5)).to_ntt_domain().data
+
+    got = inv_ntt_fold_wide(x, moduli, degree, post, interpret=True)
+    import jax.numpy as jnp
+
+    ref = mm.mont_mul(
+        ntt_pallas_wide(x, moduli, degree, inverse=True, interpret=True),
+        jnp.asarray(_pack_u64_cols(np.array(post, dtype=object))),
+        ctx.chain,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -206,3 +206,47 @@ def test_ciphertext_batching_roundtrip_and_batched_mul():
     bad = dataclasses.replace(cts[1], logp=cts[1].logp + 1)
     with pytest.raises(CkksError):
         stack_ciphertexts([cts[0], bad])
+
+
+def test_compressed_gadget_key_roundtrip(tmp_path):
+    """Seeded key compression: a file written with compress=True omits the
+    uniform ``a`` stack, is roughly half the size, and loads to a key with
+    a bit-identical ``a`` (regenerated from the stored seed)."""
+    import os
+
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext,
+        CkksEngine,
+        CkksParams,
+        generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.utils import serialization as ser
+
+    degree = 64
+    ctx = CkksContext.build(generate_primes(30, 4, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, degree // 2, 30))
+    rng = make_rng(31)
+    sk = eng.generate_secret_key(rng)
+    rlk = eng.generate_gadget_relin_key(sk, rng, digit_size=2)
+    rotk = eng.generate_gadget_rotation_key(sk, 1, rng, digit_size=2)
+
+    full = tmp_path / "rlk_full.npz"
+    small = tmp_path / "rlk_seed.npz"
+    ser.save_relin_key(str(full), rlk)
+    ser.save_relin_key(str(small), rlk, compress=True)
+    # uniform a is incompressible noise -> the seeded file is ~half
+    assert os.path.getsize(small) < 0.6 * os.path.getsize(full)
+
+    back = ser.load_relin_key(str(small))
+    np.testing.assert_array_equal(np.asarray(back.a), np.asarray(rlk.a))
+    np.testing.assert_array_equal(np.asarray(back.b), np.asarray(rlk.b))
+    assert back.a_seed == rlk.a_seed
+
+    rp = tmp_path / "rot_seed.npz"
+    ser.save_rotation_key(str(rp), rotk, compress=True)
+    rot_back = ser.load_rotation_key(str(rp))
+    np.testing.assert_array_equal(np.asarray(rot_back.a), np.asarray(rotk.a))
+    assert rot_back.rotation == rotk.rotation

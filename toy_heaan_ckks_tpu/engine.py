@@ -127,7 +127,11 @@ def _switch_plan(
     rbits = 32 if small else 64
     r2 = {q: pow(1 << rbits, 2, q) for q in ext_moduli}
 
-    dec_inv = np.zeros(L, dtype=object)
+    from .keys import dec_inv_ints, sp_inv_ints
+
+    # dec_inv / sp_inv come from the shared host-int helpers (keys.py) so
+    # the fused lo-plane fold paths and this packer can never drift
+    dec_inv = np.array(dec_inv_ints(base_moduli, digit_size), dtype=object)
     ext_c = np.zeros((num_digits, digit_size, E), dtype=object)
     for t, grp in enumerate(groups):
         for gi, k in enumerate(grp):
@@ -135,18 +139,16 @@ def _switch_plan(
             for k2 in grp:
                 if k2 != k:
                     qhat *= base_moduli[k2]
-            dec_inv[k] = pow(qhat % base_moduli[k], -1, base_moduli[k])
             for j, qj in enumerate(ext_moduli):
                 ext_c[t, gi, j] = (qhat % qj) * r2[qj] % qj
 
     p_total = 1
     for p in specials:
         p_total *= p
-    sp_inv = np.zeros(gp, dtype=object)
+    sp_inv = np.array(sp_inv_ints(specials), dtype=object)
     phat_c = np.zeros((gp, L), dtype=object)
     for m, pm in enumerate(specials):
         phat = p_total // pm
-        sp_inv[m] = pow(phat % pm, -1, pm)
         for j, qj in enumerate(base_moduli):
             phat_c[m, j] = (phat % qj) * r2[qj] % qj
     p_inv = [

@@ -202,6 +202,37 @@ def digit_groups(num_channels: int, digit_size: int) -> tuple[tuple[int, ...], .
     )
 
 
+def dec_inv_ints(moduli, digit_size: int) -> tuple:
+    """Plain (Qhat_{t,k})^{-1} mod q_k per base channel, under the
+    ``digit_groups`` decomposition (Qhat_{t,k} = prod of digit t's other
+    moduli). Single source of truth for the hybrid key-switch
+    decomposition constants — both ``engine._switch_plan``'s packer and
+    the fused fold paths (``ops/small_fast.py``, ``ops/wide_fast.py``)
+    derive from here, so the digit grouping can never drift between them.
+    """
+    moduli = tuple(int(m) for m in moduli)
+    out = [0] * len(moduli)
+    for grp in digit_groups(len(moduli), min(digit_size, len(moduli))):
+        for k in grp:
+            qhat = 1
+            for k2 in grp:
+                if k2 != k:
+                    qhat *= moduli[k2]
+            out[k] = pow(qhat % moduli[k], -1, moduli[k])
+    return tuple(out)
+
+
+def sp_inv_ints(special_moduli) -> tuple:
+    """Plain (Phat_m)^{-1} mod p_m per special channel
+    (Phat_m = P / p_m, P = prod of the special primes) — the mod-down
+    base-conversion constants, shared like ``dec_inv_ints``."""
+    specials = tuple(int(m) for m in special_moduli)
+    p_total = 1
+    for p in specials:
+        p_total *= p
+    return tuple(pow((p_total // pm) % pm, -1, pm) for pm in specials)
+
+
 def _mont_const_per_channel(values, moduli, rbits: int) -> jnp.ndarray:
     """Per-channel scalar constants in Montgomery form -> (L, 2, 1)."""
     vals = [(int(v) << rbits) % int(q) for v, q in zip(values, moduli)]
@@ -260,16 +291,34 @@ def _gadget_pairs(
     )[:, :, None, None]
     plain = jnp.where(mask, t_ext[None, :, :, :], 0).astype(jnp.uint32)
 
-    a_list, b_list = [], []
-    for _ in range(len(groups)):
-        a_i = Poly.sample_uniform(ext_ctx, rng).to_ntt_domain()
+    # The uniform ``a`` halves come from a dedicated seed drawn from the
+    # caller's rng, so a key can be serialized as (b, a_seed) and the a
+    # stack regenerated on load — half the key bytes at rest/in flight
+    # (the public-seed compression every production FHE library ships;
+    # the reference stores full pairs, engine.rs:288-335).
+    a_seed = int(rng.integers(0, 2**63))
+    a_stack = regenerate_gadget_a(ext_ctx, len(groups), a_seed)
+    b_list = []
+    for t in range(len(groups)):
+        a_i = Poly(a_stack[t], ext_ctx, True)
         e_i = Poly.sample_gaussian(ext_ctx, std_dev, rng).to_ntt_domain()
         b_i = -(a_i * s_ext) + e_i
-        a_list.append(a_i.data)
         b_list.append(b_i.data)
-    a_stack = jnp.stack(a_list)  # (D, E, 2, N)
     b_stack = mm.add_mod(jnp.stack(b_list), plain, ext_ctx.chain)
-    return a_stack, b_stack, ext_ctx
+    return a_stack, b_stack, ext_ctx, a_seed
+
+
+def regenerate_gadget_a(ext_ctx: CkksContext, num_digits: int,
+                        a_seed: int) -> jnp.ndarray:
+    """Re-derive a gadget key's uniform ``a`` stack (D, E, 2, N) from its
+    compression seed — bit-identical to the stack built at generation."""
+    from .math.sampling import make_rng
+
+    a_rng = make_rng(a_seed)
+    return jnp.stack([
+        Poly.sample_uniform(ext_ctx, a_rng).to_ntt_domain().data
+        for _ in range(num_digits)
+    ])
 
 
 def _resolve_specials(
@@ -303,6 +352,7 @@ class RnsGadgetRelinKey:
     ext_ctx: CkksContext
     special: int  # product of the special primes
     digit_size: int = 1
+    a_seed: int | None = None  # compression seed for the uniform a stack
 
     @staticmethod
     def generate(
@@ -316,7 +366,7 @@ class RnsGadgetRelinKey:
     ) -> "RnsGadgetRelinKey":
         sp = _resolve_specials(ctx, special, specials, digit_size)
         s_sq = sk.poly * sk.poly  # NTT domain
-        a, b, ext_ctx = _gadget_pairs(
+        a, b, ext_ctx, a_seed = _gadget_pairs(
             sk, s_sq, std_dev, ctx, rng, sp, digit_size
         )
         p_total = 1
@@ -324,7 +374,7 @@ class RnsGadgetRelinKey:
             p_total *= p
         return RnsGadgetRelinKey(
             a=a, b=b, ctx=ctx, ext_ctx=ext_ctx, special=p_total,
-            digit_size=digit_size,
+            digit_size=digit_size, a_seed=a_seed,
         )
 
 
@@ -339,6 +389,7 @@ class RnsGadgetRotationKey:
     ext_ctx: CkksContext
     special: int  # product of the special primes
     digit_size: int = 1
+    a_seed: int | None = None  # compression seed for the uniform a stack
     # inverse-permuted key planes for hoisted rotation, built once on
     # first use (dict contents are mutable; the dataclass stays frozen)
     hoist_cache: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -356,7 +407,7 @@ class RnsGadgetRotationKey:
     ) -> "RnsGadgetRotationKey":
         sp = _resolve_specials(ctx, special, specials, digit_size)
         s_k = sk.poly.rotate_slots(rotation)
-        a, b, ext_ctx = _gadget_pairs(
+        a, b, ext_ctx, a_seed = _gadget_pairs(
             sk, s_k, std_dev, ctx, rng, sp, digit_size
         )
         p_total = 1
@@ -364,7 +415,7 @@ class RnsGadgetRotationKey:
             p_total *= p
         return RnsGadgetRotationKey(
             a=a, b=b, rotation=rotation, ctx=ctx, ext_ctx=ext_ctx,
-            special=p_total, digit_size=digit_size,
+            special=p_total, digit_size=digit_size, a_seed=a_seed,
         )
 
 
@@ -384,6 +435,7 @@ class RnsGadgetConjugationKey:
     ext_ctx: CkksContext
     special: int
     digit_size: int = 1
+    a_seed: int | None = None  # compression seed for the uniform a stack
 
     @staticmethod
     def generate(
@@ -397,7 +449,7 @@ class RnsGadgetConjugationKey:
     ) -> "RnsGadgetConjugationKey":
         sp = _resolve_specials(ctx, special, specials, digit_size)
         s_conj = sk.poly.conjugate()
-        a, b, ext_ctx = _gadget_pairs(
+        a, b, ext_ctx, a_seed = _gadget_pairs(
             sk, s_conj, std_dev, ctx, rng, sp, digit_size
         )
         p_total = 1
@@ -405,7 +457,7 @@ class RnsGadgetConjugationKey:
             p_total *= p
         return RnsGadgetConjugationKey(
             a=a, b=b, ctx=ctx, ext_ctx=ext_ctx, special=p_total,
-            digit_size=digit_size,
+            digit_size=digit_size, a_seed=a_seed,
         )
 
 

@@ -495,11 +495,16 @@ def _fold_consts_wide(moduli: tuple, degree: int, post: tuple):
     return fin, fin_s
 
 
+@functools.partial(
+    jax.jit, static_argnames=("moduli", "degree", "post", "interpret")
+)
 def inv_ntt_fold_wide(x, moduli: tuple, degree: int, post: tuple,
                       interpret: bool = False):
     """Wide inverse NTT with plain per-channel post-factors folded into
     the final constant: bit-exact with
-    ``mont_mul(ntt_pallas_wide(x, inverse=True), post)`` in one kernel."""
+    ``mont_mul(ntt_pallas_wide(x, inverse=True), post)`` in one kernel.
+    Jitted (static config) so eager callers don't rebuild the pallas_call
+    per invocation, matching the sibling entry points."""
     moduli = tuple(int(m) for m in moduli)
     fin, fin_s = _fold_consts_wide(
         moduli, degree, tuple(int(p) for p in post)

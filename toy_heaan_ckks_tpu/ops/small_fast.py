@@ -60,12 +60,33 @@ def mont_mul_lo(a, b, q, qinv):
     return jnp.where(res >= q, res - q, res)
 
 
+def _use_mxu(moduli, degree: int) -> bool:
+    """Opt-in MXU matmul-NTT dispatch (CKKS_NTT_MXU=1): measured at ~1.6x
+    the butterfly kernel's batched cost on the current chip (see
+    ops/ntt_mxu.py docstring), kept for latency-bound unbatched use and
+    future hardware."""
+    import os
+
+    if os.environ.get("CKKS_NTT_MXU") != "1":
+        return False
+    from .ntt_mxu import supported_mxu
+
+    return supported_mxu(degree, moduli)
+
+
 def ntt_lo(a_lo, moduli: tuple, degree: int, inverse: bool,
            interpret: bool = False):
     """Fused Pallas NTT on bare lo planes (..., L, N).
 
     N > 2^15 routes to the factored row x lane twiddle kernel (the
     expanded per-stage planes exceed VMEM there)."""
+    if _use_mxu(moduli, degree):
+        from .ntt_mxu import ntt_mxu_pallas
+
+        return ntt_mxu_pallas(
+            a_lo, tuple(int(m) for m in moduli), degree, inverse,
+            interpret=interpret,
+        )
     if _use_factored(degree):
         tabs = _planes_factored_cached(tuple(moduli), degree)
         (frw, frwp, flw, flwp, irw, irwp, ilw, ilwp, q, ninv, ninvp) = tabs
@@ -115,6 +136,13 @@ def inv_ntt_fold(x_lo, moduli: tuple, degree: int, post: tuple,
     dec_inv, a mod-down's sp_inv, or 1 to de-Montgomery).
     """
     moduli = tuple(int(m) for m in moduli)
+    if _use_mxu(moduli, degree):
+        from .ntt_mxu import ntt_mxu_pallas
+
+        return ntt_mxu_pallas(
+            x_lo, moduli, degree, True,
+            post=tuple(int(p) for p in post), interpret=interpret,
+        )
     w, wp = _fold_consts(moduli, degree, tuple(int(p) for p in post))
     if _use_factored(degree):
         tabs = _planes_factored_cached(moduli, degree)
@@ -134,20 +162,12 @@ def inv_ntt_fold(x_lo, moduli: tuple, degree: int, post: tuple,
 
 @functools.lru_cache(maxsize=128)
 def _dec_inv_ints(moduli: tuple, digit_size: int) -> tuple:
-    """Plain (Qhat_{t,k})^{-1} mod q_k per channel (engine._switch_plan's
-    dec_inv as host ints, recomputed here so the fold constants never
-    touch traced arrays)."""
-    from ..keys import digit_groups
+    """Plain (Qhat_{t,k})^{-1} mod q_k per channel as host ints (so the
+    fold constants never touch traced arrays) — delegates to the shared
+    helper in keys.py, the same source engine._switch_plan packs from."""
+    from ..keys import dec_inv_ints
 
-    out = [0] * len(moduli)
-    for grp in digit_groups(len(moduli), min(digit_size, len(moduli))):
-        for k in grp:
-            qhat = 1
-            for k2 in grp:
-                if k2 != k:
-                    qhat *= moduli[k2]
-            out[k] = pow(qhat % moduli[k], -1, moduli[k])
-    return tuple(out)
+    return dec_inv_ints(moduli, digit_size)
 
 
 # ── composites ───────────────────────────────────────────────────────────────
@@ -180,13 +200,10 @@ def mod_down_lo(x, ctx: CkksContext, ext_ctx: CkksContext, plan,
     sp_ctx = ext_ctx.slice_channels(L, E)
     bc = ctx.chain
 
+    from ..keys import sp_inv_ints
+
     specials = tuple(int(m) for m in sp_ctx.moduli)
-    p_total = 1
-    for p in specials:
-        p_total *= p
-    sp_inv = tuple(
-        pow((p_total // pm) % pm, -1, pm) for pm in specials
-    )
+    sp_inv = sp_inv_ints(specials)
     yhat = inv_ntt_fold(
         x[..., L:, :], specials, ctx.degree, sp_inv, interpret
     )

@@ -128,11 +128,25 @@ def load_public_key(path: str) -> PublicKey:
     )
 
 
-def _save_gadget(path, key, **extra) -> None:
+def _save_gadget(path, key, compress: bool = False, **extra) -> None:
+    """``compress=True`` omits the uniform ``a`` stack and stores only its
+    64-bit generation seed (keys.py:_gadget_pairs draws ``a`` from a
+    dedicated seed precisely so it can be re-derived bit-identically on
+    load) — half the bytes at rest/in flight. The reference persists no
+    keys at all (SURVEY.md §5 checkpoint row); this is the standard
+    public-seed compression of production FHE libraries."""
+    arrays = {"b": np.asarray(key.b)}
+    extra = dict(extra)
+    if compress and key.a_seed is not None:
+        extra["a_seed"] = str(int(key.a_seed))
+        extra["num_digits"] = int(key.a.shape[0])
+    else:
+        arrays["a"] = np.asarray(key.a)
+        if key.a_seed is not None:
+            extra["a_seed"] = str(int(key.a_seed))
     np.savez_compressed(
         path,
-        a=np.asarray(key.a),
-        b=np.asarray(key.b),
+        **arrays,
         meta=_meta(
             key.ctx,
             ext_moduli=[str(m) for m in key.ext_ctx.moduli],
@@ -143,8 +157,28 @@ def _save_gadget(path, key, **extra) -> None:
     )
 
 
-def save_relin_key(path: str, key: RnsGadgetRelinKey) -> None:
-    _save_gadget(path, key)
+def _load_gadget_a(z, meta, ext_ctx):
+    """The stored ``a`` stack, or its bit-identical regeneration from the
+    compression seed when the file was written with compress=True."""
+    if "a" in getattr(z, "files", ()):
+        return jnp.asarray(z["a"]), _meta_seed(meta)
+    from ..keys import regenerate_gadget_a
+
+    return (
+        regenerate_gadget_a(
+            ext_ctx, int(meta["num_digits"]), int(meta["a_seed"])
+        ),
+        int(meta["a_seed"]),
+    )
+
+
+def _meta_seed(meta):
+    return int(meta["a_seed"]) if "a_seed" in meta else None
+
+
+def save_relin_key(path: str, key: RnsGadgetRelinKey,
+                   compress: bool = False) -> None:
+    _save_gadget(path, key, compress=compress)
 
 
 def load_relin_key(path: str) -> RnsGadgetRelinKey:
@@ -154,18 +188,21 @@ def load_relin_key(path: str) -> RnsGadgetRelinKey:
     ext_ctx = CkksContext.build(
         tuple(int(m) for m in meta["ext_moduli"]), ctx.degree
     )
+    a, a_seed = _load_gadget_a(z, meta, ext_ctx)
     return RnsGadgetRelinKey(
-        a=jnp.asarray(z["a"]),
+        a=a,
         b=jnp.asarray(z["b"]),
         ctx=ctx,
         ext_ctx=ext_ctx,
         special=int(meta["special"]),
         digit_size=int(meta["digit_size"]),
+        a_seed=a_seed,
     )
 
 
-def save_rotation_key(path: str, key: RnsGadgetRotationKey) -> None:
-    _save_gadget(path, key, rotation=key.rotation)
+def save_rotation_key(path: str, key: RnsGadgetRotationKey,
+                      compress: bool = False) -> None:
+    _save_gadget(path, key, compress=compress, rotation=key.rotation)
 
 
 def load_rotation_key(path: str) -> RnsGadgetRotationKey:
@@ -175,19 +212,21 @@ def load_rotation_key(path: str) -> RnsGadgetRotationKey:
     ext_ctx = CkksContext.build(
         tuple(int(m) for m in meta["ext_moduli"]), ctx.degree
     )
+    a, a_seed = _load_gadget_a(z, meta, ext_ctx)
     return RnsGadgetRotationKey(
-        a=jnp.asarray(z["a"]),
+        a=a,
         b=jnp.asarray(z["b"]),
         rotation=int(meta["rotation"]),
         ctx=ctx,
         ext_ctx=ext_ctx,
         special=int(meta["special"]),
         digit_size=int(meta["digit_size"]),
+        a_seed=a_seed,
     )
 
 
-def save_conjugation_key(path: str, key) -> None:
-    _save_gadget(path, key)
+def save_conjugation_key(path: str, key, compress: bool = False) -> None:
+    _save_gadget(path, key, compress=compress)
 
 
 def load_conjugation_key(path: str):
@@ -199,11 +238,13 @@ def load_conjugation_key(path: str):
     ext_ctx = CkksContext.build(
         tuple(int(m) for m in meta["ext_moduli"]), ctx.degree
     )
+    a, a_seed = _load_gadget_a(z, meta, ext_ctx)
     return RnsGadgetConjugationKey(
-        a=jnp.asarray(z["a"]),
+        a=a,
         b=jnp.asarray(z["b"]),
         ctx=ctx,
         ext_ctx=ext_ctx,
         special=int(meta["special"]),
         digit_size=int(meta["digit_size"]),
+        a_seed=a_seed,
     )
