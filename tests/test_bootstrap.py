@@ -233,3 +233,45 @@ def test_bootstrap_end_to_end():
 
     got = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))
     np.testing.assert_allclose(got[: len(a)], a, atol=2e-3)
+
+
+def test_bootstrap_ps_eval_mod():
+    """Bootstrap with the Paterson-Stockmeyer EvalMod (method="ps"):
+    same message within the sine-approximation error, and at least as
+    many levels left as the linear evaluator (PS consumes ~log2(deg)
+    levels for the Chebyshev stage instead of deg)."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        bootstrap,
+    )
+
+    deg, scale, count = 32, 31, 17
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    ctx1 = full.slice_channels(0, 1)
+    hw = 2
+    params = CkksParams(3.2, hw, scale)
+    rng = make_rng(33)
+    eng_full = CkksEngine(full, params)
+    sk = eng_full.generate_secret_key(rng)
+    sk1 = sk.reduce_to(ctx1)
+    eng1 = CkksEngine(ctx1, params)
+    pk1 = eng1.generate_public_key(sk1, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    bkeys = BootstrapKeys(ladder, params, rng)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(9)
+    a = rng2.uniform(-0.02, 0.02, deg // 2)
+    ct1 = eng1.encrypt(enc.encode(a, ctx1), pk1, ctx1.total_bits(), rng)
+
+    r_dbl, cheb_deg = 5, 6
+    out = bootstrap(
+        ct1, full, bkeys, params, enc, r=r_dbl, deg=cheb_deg, method="ps"
+    )
+    # linear would land exactly at count - (deg + r + 4); PS must do at
+    # least as well (shallower Chebyshev stage)
+    assert out.level >= count - (cheb_deg + r_dbl + 4)
+    assert out.level > ct1.level
+
+    got = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))
+    np.testing.assert_allclose(got[: len(a)], a, atol=2e-3)

@@ -431,6 +431,7 @@ def eval_mod(
     post: complex,
     r: int = 5,
     deg: int = 6,
+    method: str = "linear",
 ) -> Ciphertext:
     """Approximate y -> (rho/2pi) sin(2pi y / rho) ~ y mod rho (centered).
 
@@ -451,7 +452,15 @@ def eval_mod(
 
     u = CkksEngine.rescale_ciphertext(_mul_const(engine_at(ct.level), ct, pre))
     a = 2.0 * np.pi * K / (1 << r)
-    w = eval_chebyshev(ladder, params, u, _exp_cheb_coeffs(a, deg))
+    if method == "ps":
+        # Paterson-Stockmeyer: ~log2(deg) depth instead of deg — the
+        # right choice for high-precision fits (deg >= 8); requires the
+        # SCALE = prime-bit-width rule (models/funceval.py docstring)
+        from .funceval import eval_chebyshev_ps
+
+        w = eval_chebyshev_ps(ladder, params, u, _exp_cheb_coeffs(a, deg))
+    else:
+        w = eval_chebyshev(ladder, params, u, _exp_cheb_coeffs(a, deg))
     for _ in range(r):
         rlk = ladder.at_level(w.level).rlk
         w = CkksEngine.rescale_ciphertext(CkksEngine.square_ciphertext(w, rlk))
@@ -472,6 +481,7 @@ def bootstrap(
     r: int = 5,
     deg: int = 6,
     giant="auto",
+    method: str = "linear",
 ) -> Ciphertext:
     """Refresh a level-1 ciphertext: same message, higher level.
 
@@ -501,13 +511,14 @@ def bootstrap(
     base_post = -1j * rho / (4.0 * np.pi)
     m_re = eval_mod(
         ladder, params, bkeys, s_plus, rho, K,
-        pre=0.5 / (rho * K), post=base_post, r=r, deg=deg,
+        pre=0.5 / (rho * K), post=base_post, r=r, deg=deg, method=method,
     )
     # fold the -i (un-2i) and the i (re-pack) into pre/post: the imag
     # branch evaluates on Im(t) and contributes i * EvalMod(Im(t))
     m_im = eval_mod(
         ladder, params, bkeys, s_minus, rho, K,
         pre=-0.5j / (rho * K), post=1j * base_post, r=r, deg=deg,
+        method=method,
     )
     m_t = CkksEngine.add_ciphertexts(m_re, m_im)
     return slot_to_coeff(m_t, bkeys, encoder, giant=giant)
