@@ -329,6 +329,10 @@ def main():
     wide_jnp = _wide_jnp_sec_per_mult()
     big_sec = _measure(BIG_DEGREE, BIG_PRIMES, BIG_BITS, BIG_DIGIT,
                        batch=BIG_BATCH, iters=BIG_ITERS, warmup=WARMUP)
+    # single-ciphertext latency (batch=1): the serving-path metric —
+    # batched throughput amortises twiddle/key traffic, latency cannot
+    lat_sec = _measure(DEGREE, NUM_PRIMES, PRIME_BITS, DIGIT_SIZE,
+                       batch=1, iters=48, warmup=WARMUP)
     ntt = _measure_ntt_roofline()
 
     print(
@@ -357,6 +361,13 @@ def main():
                         f"{BIG_BITS}b, batch={BIG_BATCH} (factored twiddles)"
                     ),
                     "value": round(1.0 / big_sec, 2),
+                },
+                "latency": {
+                    "metric": (
+                        f"single-mult latency @ N=2^14, "
+                        f"L={NUM_PRIMES}x{PRIME_BITS}b, batch=1"
+                    ),
+                    "value_ms": round(lat_sec * 1e3, 3),
                 },
                 "ntt": ntt,
             }

@@ -108,3 +108,29 @@ def test_chebyshev_fit_accuracy():
     np.testing.assert_allclose(
         np.polynomial.chebyshev.chebval(u, c), np.exp(u), atol=1e-10
     )
+
+
+def test_ps_wide_chain():
+    """PS evaluation on a wide (61-bit) chain — the reference's
+    heavy-prime class (tests/integration_mul.rs:47-51) — with the
+    SCALE = prime-bit-width rule at 61 bits."""
+    degree, scale, levels = 64, 61, 8
+    full = CkksContext.build(generate_primes(scale, levels, degree), degree)
+    params = CkksParams(3.2, 8, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(19)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    enc = CkksEncoder(degree, scale)
+
+    x = np.linspace(-0.9, 0.9, degree // 2)
+    ct = eng.encrypt(enc.encode(x, full), pk, full.total_bits(), rng)
+    coeffs = [0.25, 0.5, -0.25, 0.125, 0.0625, -0.03125, 0.015625]
+    out = eval_chebyshev_ps(ladder, params, ct, coeffs)
+    want = np.polynomial.chebyshev.chebval(x, coeffs)
+    got = enc.decode(
+        CkksEngine.decrypt(out, sk.reduce_to(out.ctx))
+    )[: len(x)].real
+    # Delta = 2^61: precision is limited by the fit/noise, not the scale
+    assert np.max(np.abs(got - want)) < 1e-6

@@ -250,3 +250,55 @@ def test_compressed_gadget_key_roundtrip(tmp_path):
     rot_back = ser.load_rotation_key(str(rp))
     np.testing.assert_array_equal(np.asarray(rot_back.a), np.asarray(rotk.a))
     assert rot_back.rotation == rotk.rotation
+
+
+def test_noise_diagnostics():
+    """Measured coefficient noise of a fresh encryption is small and
+    grows through a multiply; slot precision shrinks correspondingly;
+    budget_report tracks level bookkeeping."""
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext,
+        CkksEncoder,
+        CkksEngine,
+        CkksParams,
+        generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.utils.noise import (
+        budget_report,
+        coefficient_noise_bits,
+        slot_precision_bits,
+    )
+
+    degree, scale = 64, 30
+    ctx = CkksContext.build(generate_primes(30, 4, degree), degree)
+    eng = CkksEngine(ctx, CkksParams(3.2, 8, scale))
+    rng = make_rng(3)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    rlk = eng.generate_gadget_relin_key(sk, rng)
+    enc = CkksEncoder(degree, scale)
+
+    a = np.linspace(-0.5, 0.5, degree // 2)
+    pt = enc.encode(a, ctx)
+    ct = eng.encrypt(pt, pk, ctx.total_bits(), rng)
+
+    fresh_bits = coefficient_noise_bits(ct, sk, pt)
+    # fresh noise ~ sigma * sqrt(hw * N): far below the 2^30 scale,
+    # far above zero
+    assert 2 < fresh_bits < 20
+
+    prec_fresh = slot_precision_bits(ct, sk, enc, a.astype(complex))
+    assert prec_fresh > 12  # ~1e-4 or better at Delta = 2^30
+
+    ct2 = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ct, ct, rlk))
+    prec_mul = slot_precision_bits(ct2, sk, enc, (a * a).astype(complex))
+    assert prec_mul > 8
+    assert prec_mul < prec_fresh + 1  # precision cannot improve
+
+    rep = budget_report(ct2, sk, enc, (a * a).astype(complex))
+    assert rep["level"] == ctx.num_channels - 1
+    assert rep["levels_remaining"] == ctx.num_channels - 2
+    assert abs(rep["slot_precision_bits"] - prec_mul) < 1e-9
