@@ -64,6 +64,77 @@ def test_encrypted_matvec_matches_plain(giant):
     np.testing.assert_allclose(got, m @ v, atol=3e-4)
 
 
+def _matmul_setup(levels: int, degree: int = 128, scale: int = 30,
+                  seed: int = 37):
+    full = CkksContext.build(generate_primes(scale, levels, degree), degree)
+    params = CkksParams(3.2, 8, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(seed)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    keys = MatvecKeys(ladder, params, rng)
+    enc = CkksEncoder(degree, scale)
+    return full, eng, rng, sk, pk, keys, enc
+
+
+def test_encrypted_matmul_matches_plain():
+    """JKLS d x d product, both operands encrypted (d=8, N=128):
+    decode(matmul(Enc A, Enc B)) ~= A @ B, costing exactly 3 levels."""
+    from toy_heaan_ckks_tpu.models.linalg import encrypted_matmul
+
+    full, eng, rng, sk, pk, keys, enc = _matmul_setup(5)
+    d = 8
+    rng2 = np.random.default_rng(11)
+    a = rng2.uniform(-1, 1, (d, d)) / np.sqrt(d)
+    b = rng2.uniform(-1, 1, (d, d)) / np.sqrt(d)
+
+    ca = eng.encrypt(
+        enc.encode(a.reshape(-1), full), pk, full.total_bits(), rng
+    )
+    cb = eng.encrypt(
+        enc.encode(b.reshape(-1), full), pk, full.total_bits(), rng
+    )
+    out = encrypted_matmul(ca, cb, keys, enc)
+    assert out.level == ca.level - 3  # JKLS depth
+    got = enc.decode(
+        CkksEngine.decrypt(out, sk.reduce_to(out.ctx))
+    )[: d * d].real.reshape(d, d)
+    np.testing.assert_allclose(got, a @ b, atol=2e-3)
+
+
+def test_encrypted_transpose():
+    from toy_heaan_ckks_tpu.models.linalg import encrypted_transpose
+
+    full, eng, rng, sk, pk, keys, enc = _matmul_setup(3)
+    d = 8
+    a = np.random.default_rng(13).uniform(-1, 1, (d, d))
+    ca = eng.encrypt(
+        enc.encode(a.reshape(-1), full), pk, full.total_bits(), rng
+    )
+    out = encrypted_transpose(ca, keys, enc)
+    assert out.level == ca.level - 1
+    got = enc.decode(
+        CkksEngine.decrypt(out, sk.reduce_to(out.ctx))
+    )[: d * d].real.reshape(d, d)
+    np.testing.assert_allclose(got, a.T, atol=3e-4)
+
+
+def test_encrypted_matmul_rejects_non_square_packing():
+    """N/2 = 32 is not a perfect square -> typed error."""
+    from toy_heaan_ckks_tpu.errors import CkksError
+    from toy_heaan_ckks_tpu.models.linalg import encrypted_matmul
+
+    full, eng, rng, sk, pk, keys, enc = _matmul_setup(
+        2, degree=64, scale=31
+    )
+    ct = eng.encrypt(
+        enc.encode(np.zeros(32), full), pk, full.total_bits(), rng
+    )
+    with pytest.raises(CkksError):
+        encrypted_matmul(ct, ct, keys, enc)
+
+
 def test_encrypted_matvec_rejects_wrong_shape():
     full = CkksContext.build(generate_primes(SCALE, 2, DEGREE), DEGREE)
     params = CkksParams(3.2, 4, SCALE)

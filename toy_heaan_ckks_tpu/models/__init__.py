@@ -7,6 +7,10 @@
 - ``funceval``: arbitrary smooth functions on encrypted inputs via
   Chebyshev fits + Paterson-Stockmeyer evaluation (beyond the
   reference).
+- ``compare``: encrypted sign / compare / abs / max / min / ReLU via
+  CKK20 composite polynomials (beyond the reference).
+- ``linalg``: encrypted matrix-vector products (diagonal method,
+  double-hoisted or BSGS) (beyond the reference).
 """
 
 from .algorithms import (  # noqa: F401
@@ -25,6 +29,15 @@ from .bootstrap import (  # noqa: F401
     raise_modulus,
     slot_to_coeff,
 )
+from .compare import (  # noqa: F401
+    compare,
+    eval_abs,
+    eval_max,
+    eval_min,
+    eval_relu,
+    eval_sign,
+    plan_sign_iterations,
+)
 from .funceval import (  # noqa: F401
     chebyshev_fit,
     eval_chebyshev_ps,
@@ -33,3 +46,4 @@ from .funceval import (  # noqa: F401
     eval_inverse,
     eval_sigmoid,
 )
+from .linalg import encrypted_matvec, matrix_diagonals  # noqa: F401
