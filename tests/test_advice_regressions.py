@@ -176,3 +176,47 @@ def test_inv_ntt_fold_wide_matches_two_pass(degree, bits):
         ctx.chain,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# ── round-3 advisor findings ────────────────────────────────────────────────
+
+
+def test_models_package_reexports_matmul():
+    """ADVICE r3 low: encrypted_matmul / encrypted_transpose must be
+    importable from the models package, not only from the submodule."""
+    from toy_heaan_ckks_tpu import models
+
+    assert models.encrypted_matmul is not None
+    assert models.encrypted_transpose is not None
+
+
+def test_encrypted_matmul_rejects_mismatched_operands():
+    """ADVICE r3 low: level / scale mismatches raise a typed CkksError at
+    entry instead of failing deep inside mul_ciphertexts_gadget."""
+    import dataclasses
+
+    from toy_heaan_ckks_tpu.keys import KeyLadder
+    from toy_heaan_ckks_tpu.models.algorithms import align_level
+    from toy_heaan_ckks_tpu.models.linalg import MatvecKeys, encrypted_matmul
+
+    degree, scale = 128, 30
+    full = CkksContext.build(generate_primes(scale, 4, degree), degree)
+    params = CkksParams(3.2, 8, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(23)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    keys = MatvecKeys(ladder, params, rng)
+    enc = CkksEncoder(degree, scale)
+
+    ct = eng.encrypt(
+        enc.encode(np.zeros(degree // 2), full), pk, full.total_bits(), rng
+    )
+    ct_low = align_level(eng, ct, ct.level - 1)
+    with pytest.raises(CkksError, match="level"):
+        encrypted_matmul(ct, ct_low, keys, enc)
+
+    drifted = dataclasses.replace(ct, scale=ct.true_scale * 1.05)
+    with pytest.raises(CkksError, match="scale"):
+        encrypted_matmul(ct, drifted, keys, enc)

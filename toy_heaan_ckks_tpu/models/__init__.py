@@ -10,7 +10,8 @@
 - ``compare``: encrypted sign / compare / abs / max / min / ReLU via
   CKK20 composite polynomials (beyond the reference).
 - ``linalg``: encrypted matrix-vector products (diagonal method,
-  double-hoisted or BSGS) (beyond the reference).
+  double-hoisted or BSGS), encrypted matrix-matrix products (JKLS,
+  both operands encrypted) and transpose (beyond the reference).
 """
 
 from .algorithms import (  # noqa: F401
@@ -46,4 +47,9 @@ from .funceval import (  # noqa: F401
     eval_inverse,
     eval_sigmoid,
 )
-from .linalg import encrypted_matvec, matrix_diagonals  # noqa: F401
+from .linalg import (  # noqa: F401
+    encrypted_matmul,
+    encrypted_matvec,
+    encrypted_transpose,
+    matrix_diagonals,
+)

@@ -198,10 +198,11 @@ def _minmax(ladder: KeyLadder, params: CkksParams, ct_a: Ciphertext,
             ct_b: Ciphertext, sub: bool, sign_kw) -> Ciphertext:
     avg = _avg(ladder, params, ct_a, ct_b, sub=False)
     # sign sees the FULL difference (margin delta, not delta/2); the
-    # halving rides the (a-b)/2 product operand instead
+    # halving rides the (a-b)/2 product operand, derived from the same d
     d = CkksEngine.sub_ciphertexts(ct_a, ct_b)
     s = eval_sign(ladder, params, d, **sign_kw)
-    half_d = _avg(ladder, params, ct_a, ct_b, sub=True)
+    eng = _engine_at(ladder, params, d.level)
+    half_d = CkksEngine.rescale_ciphertext(_mul_const(eng, d, 0.5))
     half_abs = _mul_cts(ladder, params, half_d, s)
     return _combine(
         lambda lvl: _engine_at(ladder, params, lvl), avg, half_abs,

@@ -175,6 +175,16 @@ def encrypted_matmul(ct_a: Ciphertext, ct_b: Ciphertext,
     shifts of tau(B)) shares one hoisted gadget decomposition. Operands
     must sit at the same level with matching scales.
     """
+    if ct_a.level != ct_b.level:
+        raise CkksError(
+            "encrypted_matmul: operands must sit at the same level "
+            f"(got {ct_a.level} and {ct_b.level}); align_level first"
+        )
+    if abs(ct_a.true_scale - ct_b.true_scale) > 1e-6 * ct_a.true_scale:
+        raise CkksError(
+            "encrypted_matmul: operand scales differ "
+            f"({ct_a.true_scale:.6g} vs {ct_b.true_scale:.6g})"
+        )
     n2 = ct_a.ctx.degree // 2
     d = _square_dim(n2)
     ladder, params = keys.ladder, keys.params
