@@ -69,6 +69,39 @@ def test_composite_accuracy_and_vs_sequential():
     np.testing.assert_allclose(out[: len(a)], seq_out[: len(a)], atol=1e-6)
 
 
+def test_engine_mul_rescale_surface():
+    """CkksEngine.mul_rescale == the raw composite (bit-exact residues)
+    with the sequential path's bookkeeping (logp/logq/scale), agreeing
+    with mul+rescale to rescale-rounding precision."""
+    degree = 64
+    ctx, eng, sk, pk, rlk = _setup(degree=degree)
+    enc = CkksEncoder(degree, 30)
+    a = np.linspace(0.1, 0.9, degree // 2)
+    b = np.linspace(-0.5, 0.5, degree // 2)
+    rng = make_rng(3)
+    ca = eng.encrypt(enc.encode(a, ctx), pk, ctx.total_bits(), rng)
+    cb = eng.encrypt(enc.encode(b, ctx), pk, ctx.total_bits(), rng)
+
+    ct = CkksEngine.mul_rescale(ca, cb, rlk)
+
+    batchify = lambda p: p.to_ntt_domain().data[None]
+    o0, _ = _mul_relin_rescale_arrays(
+        batchify(ca.c0), batchify(ca.c1), batchify(cb.c0), batchify(cb.c1),
+        rlk.a, rlk.b, ctx, rlk.ext_ctx, ctx.drop_last(1),
+        digit_size=rlk.digit_size,
+    )
+    np.testing.assert_array_equal(np.asarray(ct.c0.data), np.asarray(o0[0]))
+
+    seq = eng.rescale_ciphertext(eng.mul_ciphertexts_gadget(ca, cb, rlk))
+    assert ct.logp == seq.logp and ct.logq == seq.logq
+    assert ct.level == seq.level
+    np.testing.assert_allclose(ct.true_scale, seq.true_scale, rtol=1e-12)
+    got = enc.decode(eng.decrypt(ct, sk.reduce_to(ct.ctx)))
+    seq_out = enc.decode(eng.decrypt(seq, sk.reduce_to(seq.ctx)))
+    np.testing.assert_allclose(got[: len(a)], seq_out[: len(a)], atol=1e-6)
+    np.testing.assert_allclose(got[: len(a)], a * b, atol=1e-4)
+
+
 @pytest.mark.parametrize("batch", [2, 4])
 def test_generic_vs_lo_fast_bit_exact(batch):
     # batch=2/4 exercise the paired-grid-step kernel paths (pair follows

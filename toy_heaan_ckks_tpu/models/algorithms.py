@@ -110,9 +110,7 @@ def eval_poly_horner(
     for k in range(d - 2, -1, -1):
         x = align_level(engine_at(x.level), x, r.level)
         rlk = ladder.at_level(r.level).rlk
-        r = CkksEngine.rescale_ciphertext(
-            CkksEngine.mul_ciphertexts_gadget(r, x, rlk)
-        )
+        r = CkksEngine.mul_rescale(r, x, rlk)
         r = _add_const(engine_at(r.level), r, coeffs[k])
     return r
 

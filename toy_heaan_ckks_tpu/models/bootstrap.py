@@ -172,9 +172,7 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
         # T_k = 2 x T_{k-1} - T_{k-2}
         x_al = align_level(engine_at(ct.level), ct, t_cur.level)
         rlk = ladder.at_level(t_cur.level).rlk
-        t_next = CkksEngine.rescale_ciphertext(
-            CkksEngine.mul_ciphertexts_gadget(x_al, t_cur, rlk)
-        )
+        t_next = CkksEngine.mul_rescale(x_al, t_cur, rlk)
         eng = engine_at(t_next.level)
         t_next = CkksEngine.add_ciphertexts(t_next, t_next)  # 2xT
         if t_prev is not None:

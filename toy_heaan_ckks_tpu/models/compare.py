@@ -157,9 +157,7 @@ def _mul_cts(ladder: KeyLadder, params: CkksParams, a: Ciphertext,
     a = align_level(_engine_at(ladder, params, a.level), a, lvl)
     b = align_level(_engine_at(ladder, params, b.level), b, lvl)
     rlk = ladder.at_level(lvl).rlk
-    return CkksEngine.rescale_ciphertext(
-        CkksEngine.mul_ciphertexts_gadget(a, b, rlk)
-    )
+    return CkksEngine.mul_rescale(a, b, rlk)
 
 
 def eval_abs(ladder: KeyLadder, params: CkksParams, ct: Ciphertext,

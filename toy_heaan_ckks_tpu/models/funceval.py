@@ -108,9 +108,7 @@ class _ChebBasis:
         ta = align_level(self.engine_at(ta.level), ta, lvl)
         tb = align_level(self.engine_at(tb.level), tb, lvl)
         rlk = self.ladder.at_level(lvl).rlk
-        prod = CkksEngine.rescale_ciphertext(
-            CkksEngine.mul_ciphertexts_gadget(ta, tb, rlk)
-        )
+        prod = CkksEngine.mul_rescale(ta, tb, rlk)
         twice = CkksEngine.add_ciphertexts(prod, prod)
         if a == b:  # T_{2a} = 2 T_a^2 - T_0, T_0 = 1
             out = _add_const(self.engine_at(twice.level), twice, -1.0)
@@ -191,9 +189,7 @@ def eval_chebyshev_ps(ladder: KeyLadder, params: CkksParams,
         q_ct = align_level(basis.engine_at(q_ct.level), q_ct, lvl)
         tg = align_level(basis.engine_at(tg.level), tg, lvl)
         rlk = ladder.at_level(lvl).rlk
-        prod = CkksEngine.rescale_ciphertext(
-            CkksEngine.mul_ciphertexts_gadget(q_ct, tg, rlk)
-        )
+        prod = CkksEngine.mul_rescale(q_ct, tg, rlk)
         return _combine(basis.engine_at, prod, rec(r[:g]))
 
     return rec(coeffs)
