@@ -9,6 +9,8 @@ discipline as the full-plane kernel (reference:
 src/rings/backends/rns_ntt/poly.rs:960-975).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -94,6 +96,22 @@ def test_factored_supports_2_16():
     )
 
 
+_HEAVY_SKIP = pytest.mark.skipif(
+    not os.environ.get("CKKS_HEAVY_INTERPRET"),
+    reason=(
+        "interpret-mode composite at N >= 2^15: the inlined grid-step "
+        "graph takes >2h to compile on a 1-core host (measured r4). "
+        "The same composites are verified compiled-on-TPU with uint32 "
+        "equality by tools/ab_check.py (configs small-2^16-29b-ds1 / "
+        "wide-2^15-61b-ds1, recorded in ABCHECK_r*.json); the factored "
+        "kernel branch itself is covered above and by "
+        "test_advice_regressions.test_inv_ntt_fold_*. Set "
+        "CKKS_HEAVY_INTERPRET=1 to run here too."
+    ),
+)
+
+
+@_HEAVY_SKIP
 def test_fused_composite_factored_2_16():
     """The fused mult+relin+rescale composite at N = 2^16: the in-kernel
     NTT stages (key-switch accumulate, yhat emission, mod-down combine)
@@ -134,6 +152,7 @@ def test_fused_composite_factored_2_16():
     np.testing.assert_array_equal(np.asarray(g1[..., 0, :]), np.asarray(f1))
 
 
+@_HEAVY_SKIP
 def test_fused_composite_factored_wide_2_15():
     """Wide (2-limb) fused composite above its expanded-plane octave
     (N = 2^15 > 2^14): key-switch accumulate, yhat emission, and mod-down
