@@ -140,6 +140,20 @@ def run_arm(cfg, disable_pallas: bool, out_path: str) -> tuple[bool, str, float]
     return True, "", dt
 
 
+def run_arm_retry(cfg, disable_pallas: bool, out_path: str,
+                  attempts: int = 3) -> tuple[bool, str, float]:
+    """The tunnel's remote-compile endpoint drops connections transiently
+    ("response body closed before all bytes were read"); compiles are
+    persistently cached, so a retry resumes where the last attempt died
+    rather than starting over."""
+    err, dt = "", 0.0
+    for _ in range(attempts):
+        ok, err, dt = run_arm(cfg, disable_pallas, out_path)
+        if ok:
+            return True, "", dt
+    return False, err, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -162,8 +176,8 @@ def main():
         with tempfile.TemporaryDirectory() as td:
             a_path = os.path.join(td, "a.npz")
             b_path = os.path.join(td, "b.npz")
-            ok_a, err_a, dt_a = run_arm(cfg, False, a_path)
-            ok_b, err_b, dt_b = run_arm(cfg, True, b_path)
+            ok_a, err_a, dt_a = run_arm_retry(cfg, False, a_path)
+            ok_b, err_b, dt_b = run_arm_retry(cfg, True, b_path)
             if not (ok_a and ok_b):
                 print(f"FAIL {name}: runner error\n{err_a or err_b}")
                 results.append({"config": name, "status": "runner_error"})
