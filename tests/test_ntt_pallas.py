@@ -52,3 +52,29 @@ def test_supported_gate():
     assert not supported(1 << 14, small=False)  # >= 2^31 primes: jnp path
     assert not supported(512, small=True)  # tiny degrees: jnp path
     assert not supported(1000, small=True)  # non-power-of-two
+
+
+def test_auto_pair_vmem_model():
+    """Pair selection must keep the double-buffered scoped-VMEM footprint
+    2*(fixed + p*per_item)*N*4 under ~15 MB. Pins the round-4 regression:
+    the key-switch kernel at N=2^15 digit_size=1 (fixed = 2*15 twiddle +
+    2*4 key planes) OOM'd on chip at pair=2 (18.29 M scoped vs the 16 M
+    limit); the model must force pair=1 there WITHOUT disturbing the
+    tuned bench configs (2^14 ds4 pair=4; 2^16 factored composite
+    pair=1)."""
+    from toy_heaan_ckks_tpu.ops.ntt_pallas import _auto_pair
+
+    # regression config: N=2^15, L=4, D=4, S=15 expanded planes
+    assert _auto_pair(32, 1 << 15, 2 * 4 + 4 + 3, fixed_planes=30 + 8) == 1
+    # bench main config: N=2^14, L=8, D=2, S=14 — measured working at 4
+    assert _auto_pair(32, 1 << 14, 2 * 8 + 2 + 3, fixed_planes=28 + 4) == 4
+    # bench big config: N=2^16 factored (tiny twiddles), D=2 keys
+    assert _auto_pair(4, 1 << 16, 2 * 4 + 2 + 3, fixed_planes=4) == 1
+    # env override still wins
+    import os
+
+    os.environ["CKKS_FUSED_PAIR"] = "2"
+    try:
+        assert _auto_pair(32, 1 << 15, 15, fixed_planes=38) == 2
+    finally:
+        del os.environ["CKKS_FUSED_PAIR"]

@@ -278,8 +278,11 @@ def gadget_accumulate_pallas(y_plain, key_a, key_b, *,
     ka = key_a[..., 0, :].reshape(D, E, r, c)
     kb = key_b[..., 0, :].reshape(D, E, r, c)
 
-    # pair-scaled planes per item: y (L) + d (1) + 2 outs + temps (~L+D)
-    pair = _auto_pair(outer, n, 2 * L + D + 3)
+    # pair-scaled planes per item: y (L) + d (1) + 2 outs + temps (~L+D);
+    # fixed per-grid-step blocks: expanded twiddle planes (2*S, absent on
+    # the factored layout) + key blocks (2*D)
+    fixed = (0 if factored else 2 * s_count) + 2 * D
+    pair = _auto_pair(outer, n, 2 * L + D + 3, fixed_planes=fixed)
 
     smem = lambda shape: pl.BlockSpec(
         shape, lambda j, o: (0, 0), memory_space=pltpu.SMEM

@@ -209,8 +209,12 @@ def mod_down_combine_pallas(yhat, ks, t=None, *, child_moduli: tuple,
     factored = _use_factored(degree)
 
     has_t = t is not None
-    # pair-scaled planes per item: yhat (G) + head + t? + ext temp + out
-    pair = _auto_pair(outer, n, G + 3 + (1 if has_t else 0))
+    # pair-scaled planes per item: yhat (G) + head + t? + ext temp + out;
+    # fixed: the expanded forward-twiddle planes (2*S, absent factored)
+    pair = _auto_pair(
+        outer, n, G + 3 + (1 if has_t else 0),
+        fixed_planes=0 if factored else 2 * s_count,
+    )
     kernel = functools.partial(
         _md_kernel_t if has_t else _md_kernel_no_t,
         n=n, r=r, c=cdim, n_dropped=G, lazy=lazy_ok(child_moduli),

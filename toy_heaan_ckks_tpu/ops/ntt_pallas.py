@@ -368,22 +368,39 @@ def _fwd_stages_tw(x, tw_for_stage, q, n: int, r: int, c: int, lazy: bool):
 
 
 def _auto_pair(outer: int, degree: int, planes_per_item: int,
-               env: str = "CKKS_FUSED_PAIR") -> int:
+               env: str = "CKKS_FUSED_PAIR", fixed_planes: int = 0) -> int:
     """Items-per-grid-step pairing for the fused composite kernels.
 
-    Largest p in {4, 2, 1} dividing ``outer`` whose pair-scaled VMEM
-    footprint (``planes_per_item`` N-point u32 planes per item) stays
-    under ~6 MB — the same latency-bound-stage-chain argument as the
-    standalone kernel's multi-plane grid steps (measured ~10%/channel-NTT
-    there). ``env`` overrides (0/1 disables)."""
+    Largest p in {4, 2, 1} dividing ``outer`` whose TOTAL scoped-VMEM
+    footprint fits: Mosaic stacks every VMEM operand block double-buffered
+    (grid pipelining), so the model is
+
+        2 * (fixed_planes + p * planes_per_item) * N * 4  <=  ~15 MB
+
+    against the 16 MB scoped-VMEM limit. ``fixed_planes`` counts the
+    per-grid-step blocks that do NOT scale with p (expanded twiddle
+    planes, key blocks); ``planes_per_item`` the per-item data planes and
+    stage temporaries. Round-4 regression pinned by this model: the
+    key-switch kernel at N=2^15, digit_size=1 (fixed = 2*15 twiddle +
+    2*4 key planes) overflowed at pair=2 with the old per-item-only 6 MB
+    budget — 18.29 M scoped vs the 16 M limit, exactly the ~2x
+    double-buffer factor this accounts for. The budget is calibrated so
+    every previously-working pairing is preserved (2^14 ds4 key-switch
+    pair=4 models at 14.5 M and runs; the N=2^16 factored composite
+    stays at pair=1). The pairing itself is the
+    latency-bound-stage-chain optimisation (measured ~10%/channel-NTT at
+    pair=4, N=2^14). ``env`` overrides (0/1 disables)."""
     v = os.environ.get(env)
     if v:
         p = int(v)
         return p if p >= 1 and outer % p == 0 else 1
-    budget = 6 * (1 << 20)
+    budget = (148 << 20) // 10  # 14.8 MB: 1.2 MB headroom under the limit
     plane = degree * 4
     for p in (4, 2):
-        if outer % p == 0 and p * planes_per_item * plane <= budget:
+        if (
+            outer % p == 0
+            and 2 * (fixed_planes + p * planes_per_item) * plane <= budget
+        ):
             return p
     return 1
 
