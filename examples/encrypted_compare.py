@@ -20,7 +20,7 @@ from _common import check_bound, table
 import numpy as np
 
 from toy_heaan_ckks_tpu import (
-    CkksContext, CkksEncoder, CkksEngine, CkksParams, generate_primes,
+    CkksContext, CkksEncoder, CkksEngine, CkksParams, build_modulus_chain,
 )
 from toy_heaan_ckks_tpu.keys import KeyLadder
 from toy_heaan_ckks_tpu.math.sampling import make_rng
@@ -29,11 +29,18 @@ from toy_heaan_ckks_tpu.models.compare import compare, eval_max
 N = 256
 SLOTS = N // 2
 SCALE = 30
-NUM_PRIMES = 16  # (1 g + 2 f) iterations x ~4 levels + combine margin
+DEPTH = 16  # (1 g + 2 f) iterations x ~4 levels + combine margin
+# Deep composed circuits need a SCALE-MATCHED chain (the parameter
+# doctrine in utils/params.py): intermediates alternate just-above /
+# just-below 2^SCALE so per-level scale drift cancels instead of
+# compounding through the PS product tree. A one-sided generate_primes
+# chain drifts branch scales >1% apart here, which funceval's combine
+# would have to burn levels re-equalising (normalize_scale).
 
 
 def main():
-    ctx = CkksContext.build(generate_primes(SCALE, NUM_PRIMES, N), N)
+    plan = build_modulus_chain(N, SCALE, DEPTH)
+    ctx = CkksContext.build(list(plan.moduli), N)
     params = CkksParams(3.2, N // 2, SCALE)
     engine = CkksEngine(ctx, params)
     encoder = CkksEncoder(N, SCALE)

@@ -134,3 +134,51 @@ def test_ps_wide_chain():
     )[: len(x)].real
     # Delta = 2^61: precision is limited by the fit/noise, not the scale
     assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_normalize_scale_and_combine_heal():
+    """normalize_scale brings a drifted ciphertext onto an exact target
+    scale (values unchanged, one level consumed); funceval._combine
+    self-heals branches whose scales drifted >0.1% apart instead of
+    raising, and the sum decodes correctly (round-4 regression: 3
+    composed sign iterations hit a 1.03% branch mismatch)."""
+    import dataclasses
+
+    from toy_heaan_ckks_tpu.models.algorithms import normalize_scale
+    from toy_heaan_ckks_tpu.models.funceval import _combine
+
+    full, params, eng, rng, sk, pk, ladder, enc = _setup(4)
+    x = np.linspace(-0.5, 0.5, DEGREE // 2)
+    ct = eng.encrypt(enc.encode(x, full), pk, full.total_bits(), rng)
+
+    # direct normalize: 0.7% drifted metadata -> exact target
+    drifted = dataclasses.replace(ct, scale=ct.true_scale * 1.007)
+    target = ct.true_scale * 1.002
+    got = normalize_scale(eng, drifted, target)
+    assert got.level == ct.level - 1
+    assert abs(got.true_scale - target) < 1e-6 * target
+    # slots scaled by exactly 1: decode against the drifted metadata's
+    # own claim (values were encrypted at the undrifted scale, so decode
+    # with the normalized scale sees x / 1.007)
+    dec = enc.decode(CkksEngine.decrypt(got, sk.reduce_to(got.ctx)))
+    np.testing.assert_allclose(
+        dec[: len(x)].real, x / 1.007, atol=1e-4
+    )
+
+    # _combine heal: drift ABOVE the 1% hard tolerance -> no raise, one
+    # extra level, correct sum (pre-heal this raised CkksError)
+    def engine_at(level):
+        return CkksEngine(ladder.at_level(level).ctx, params)
+
+    b = dataclasses.replace(ct, scale=ct.true_scale * 1.015)
+    out = _combine(engine_at, ct, b)
+    assert out.level == ct.level - 1  # heal consumed one level
+    dec2 = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))
+    np.testing.assert_allclose(
+        dec2[: len(x)].real, x + x / 1.015, atol=2e-3
+    )
+
+    # sub-tolerance drift costs nothing: no heal, level preserved
+    b2 = dataclasses.replace(ct, scale=ct.true_scale * 1.005)
+    out2 = _combine(engine_at, ct, b2)
+    assert out2.level == ct.level

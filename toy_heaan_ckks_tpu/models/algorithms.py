@@ -82,6 +82,50 @@ def align_level(
     return acc
 
 
+def normalize_scale(
+    engine: CkksEngine, ct: Ciphertext, target_scale: float
+) -> Ciphertext:
+    """Bring ``ct.true_scale`` to (float-exactly tracked) ``target_scale``,
+    consuming one level.
+
+    Multiplies by the constant 1.0 encoded at the adjusted scale
+    Delta' = target_scale * q_top / ct.true_scale, then rescales by
+    q_top: the slot values are multiplied by exactly 1 (the plaintext's
+    declared scale IS its rounded integer, so it represents 1.0 with no
+    approximation), while the tracked scale lands on
+    target_scale * round(Delta')/Delta' — within 2^-31 relative.
+
+    This is the standard SEAL/Lattigo scale-management primitive the
+    reference (integer-logp-only) cannot express; deep branchy circuits
+    (composed Paterson-Stockmeyer iterations) need it because scale
+    drift compounds multiplicatively through ct x ct products and
+    different branches reach the same level with different exact scales
+    (see funceval._combine, which self-heals with this).
+    """
+    from ..ops.poly import Poly
+    from ..types import Plaintext
+
+    ctx = ct.ctx
+    if ctx.num_channels < 2:
+        raise ValueError("normalize_scale: no level left to consume")
+    q_top = ctx.moduli[-1]
+    dp = target_scale * q_top / ct.true_scale
+    enc = int(round(dp))
+    if enc < 1:
+        raise ValueError(
+            f"normalize_scale: adjustment {dp:.3g} not encodable"
+        )
+    coeffs = np.zeros(ctx.degree, dtype=object)
+    coeffs[0] = enc
+    pt = Plaintext(
+        poly=Poly.from_coeffs(coeffs, ctx),
+        scale_bits=engine.params.scale_bits,
+        slots=ctx.degree // 2,
+        scale=float(enc),  # the constant is exactly 1.0 at this scale
+    )
+    return CkksEngine.rescale_ciphertext(CkksEngine.mul_plain(ct, pt))
+
+
 def eval_poly_horner(
     ladder: KeyLadder,
     params: CkksParams,

@@ -75,6 +75,25 @@ def _combine(engine_at, a: Ciphertext, b: Ciphertext,
     lvl = min(a.level, b.level)
     a = align_level(engine_at(a.level), a, lvl)
     b = align_level(engine_at(b.level), b, lvl)
+    # Scale drift compounds multiplicatively through ct x ct products, so
+    # deep composed circuits (e.g. 3 chained sign iterations) on a
+    # one-sided prime chain can reach the same level with branch scales
+    # >1% apart — the engine's add would reject that. Self-heal instead
+    # of raising: spend ONE level bringing both branches to an identical
+    # exact scale (align a, normalize b onto a's new scale). The
+    # threshold matches _check_scale_match's hard tolerance so sub-1%
+    # drift costs nothing (level budgets of existing circuits are
+    # unchanged); scale-matched chains (utils/params.build_modulus_chain)
+    # avoid the drift — and the heal — entirely.
+    if (
+        lvl >= 2
+        and abs(a.true_scale - b.true_scale)
+        > 1e-2 * max(a.true_scale, b.true_scale)
+    ):
+        from .algorithms import normalize_scale
+
+        a = align_level(engine_at(lvl), a, lvl - 1)
+        b = normalize_scale(engine_at(lvl), b, a.true_scale)
     CkksEngine._check_scale_match(a.true_scale, b.true_scale, "funceval")
     logp = min(a.logp, b.logp)
     a = dataclasses.replace(a, logp=logp)
