@@ -151,25 +151,21 @@ def _measure(degree: int, num_primes: int, bits: int, digit_size: int,
         timed(long_)
 
     # Tunnel latency drifts minute-to-minute, so PAIR each long sample
-    # with an adjacent short sample and work on the paired deltas —
-    # more robust than median(long) - median(short) when the baseline
-    # moves between reps. The chip itself is time-shared behind the
-    # tunnel: whole-minute windows run 20-30% slow when another tenant
-    # is active, inflating every delta in the window the same way. A
-    # low quantile over a longer sampling window estimates the chip's
-    # actual (uncontended) marginal cost; the median tracks whatever
-    # load happened to coincide with the run.
+    # with an adjacent short sample and take the MEDIAN of the paired
+    # deltas — more robust than median(long) - median(short) when the
+    # baseline moves between reps, and unbiased (a lower quantile would
+    # harvest deltas deflated by a latency spike landing on the short
+    # sample, overstating throughput). The chip is time-shared behind
+    # the tunnel and whole windows can run 20-30% slow; 9 reps widen
+    # the window but window-level contention is irreducible — compare
+    # numbers only within one window (CLAUDE.md).
     n_reps = 9 if iters > 2 else 1
     deltas = []
     for _ in range(n_reps):
         ts = timed(short)
         tl = timed(long_)
         deltas.append(tl - ts)
-    if n_reps == 1:
-        best = deltas[0]
-    else:
-        best = statistics.median(sorted(deltas)[:3])  # robust low quantile
-    return max(best, 1e-9) / ((long_ - short) * batch)
+    return max(statistics.median(deltas), 1e-9) / ((long_ - short) * batch)
 
 
 def _measure_ntt_roofline() -> dict:

@@ -70,11 +70,15 @@ def test_auto_pair_vmem_model():
     assert _auto_pair(32, 1 << 14, 2 * 8 + 2 + 3, fixed_planes=28 + 4) == 4
     # bench big config: N=2^16 factored (tiny twiddles), D=2 keys
     assert _auto_pair(4, 1 << 16, 2 * 4 + 2 + 3, fixed_planes=4) == 1
-    # env override still wins
+    # env override still wins (restore any pre-existing value)
     import os
 
+    prev = os.environ.get("CKKS_FUSED_PAIR")
     os.environ["CKKS_FUSED_PAIR"] = "2"
     try:
         assert _auto_pair(32, 1 << 15, 15, fixed_planes=38) == 2
     finally:
-        del os.environ["CKKS_FUSED_PAIR"]
+        if prev is None:
+            del os.environ["CKKS_FUSED_PAIR"]
+        else:
+            os.environ["CKKS_FUSED_PAIR"] = prev

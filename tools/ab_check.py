@@ -140,17 +140,28 @@ def run_arm(cfg, disable_pallas: bool, out_path: str) -> tuple[bool, str, float]
     return True, "", dt
 
 
+_TRANSIENT_SIGNATURES = (
+    # the tunnel's remote-compile endpoint drops connections transiently
+    "response body closed before all bytes were read",
+    "Connection reset by peer",
+    "Socket closed",
+)
+
+
 def run_arm_retry(cfg, disable_pallas: bool, out_path: str,
                   attempts: int = 3) -> tuple[bool, str, float]:
-    """The tunnel's remote-compile endpoint drops connections transiently
-    ("response body closed before all bytes were read"); compiles are
-    persistently cached, so a retry resumes where the last attempt died
-    rather than starting over."""
+    """Retry ONLY transient tunnel faults (connection drops). Compiles
+    are persistently cached, so a retry resumes where the last attempt
+    died rather than starting over. Deterministic failures (kernel
+    crash, VMEM OOM, a genuine timeout) report immediately — retrying
+    them would burn up to 3x the per-arm limit for nothing."""
     err, dt = "", 0.0
     for _ in range(attempts):
         ok, err, dt = run_arm(cfg, disable_pallas, out_path)
         if ok:
             return True, "", dt
+        if not any(sig in err for sig in _TRANSIENT_SIGNATURES):
+            break
     return False, err, dt
 
 

@@ -44,6 +44,13 @@ from .ops import poly as pops
 from .ops.poly import Poly
 from .types import Ciphertext, Plaintext
 
+# Relative tolerance for adding/subtracting operands whose exact tracked
+# scales differ (see CkksEngine._check_scale_match). Shared by the
+# model-level circuits: funceval._combine self-heals (spends a level
+# re-equalising scales) exactly when this would trip, and
+# models/linalg.encrypted_matmul validates operands against it.
+SCALE_MATCH_TOL = 1e-2
+
 
 @dataclasses.dataclass(frozen=True)
 class CkksParams:
@@ -658,7 +665,7 @@ class CkksEngine:
         while rejecting genuine mismatches (unrescaled Delta^2 vs Delta)."""
         from .errors import CkksError
 
-        if abs(s1 - s2) > 1e-2 * max(abs(s1), abs(s2)):
+        if abs(s1 - s2) > SCALE_MATCH_TOL * max(abs(s1), abs(s2)):
             raise CkksError(
                 f"true-scale mismatch in {op}: {s1!r} vs {s2!r} — rescale "
                 f"or mul_plain_scalar one operand to match scales first"

@@ -85,10 +85,12 @@ def _combine(engine_at, a: Ciphertext, b: Ciphertext,
     # drift costs nothing (level budgets of existing circuits are
     # unchanged); scale-matched chains (utils/params.build_modulus_chain)
     # avoid the drift — and the heal — entirely.
+    from ..engine import SCALE_MATCH_TOL
+
     if (
         lvl >= 2
         and abs(a.true_scale - b.true_scale)
-        > 1e-2 * max(a.true_scale, b.true_scale)
+        > SCALE_MATCH_TOL * max(a.true_scale, b.true_scale)
     ):
         from .algorithms import normalize_scale
 

@@ -33,7 +33,7 @@ import math
 
 import numpy as np
 
-from ..engine import CkksEngine
+from ..engine import SCALE_MATCH_TOL, CkksEngine
 from ..errors import CkksError
 from ..types import Ciphertext
 from .algorithms import align_level
@@ -180,7 +180,9 @@ def encrypted_matmul(ct_a: Ciphertext, ct_b: Ciphertext,
             "encrypted_matmul: operands must sit at the same level "
             f"(got {ct_a.level} and {ct_b.level}); align_level first"
         )
-    if abs(ct_a.true_scale - ct_b.true_scale) > 1e-6 * ct_a.true_scale:
+    if abs(ct_a.true_scale - ct_b.true_scale) > SCALE_MATCH_TOL * max(
+        ct_a.true_scale, ct_b.true_scale
+    ):
         raise CkksError(
             "encrypted_matmul: operand scales differ "
             f"({ct_a.true_scale:.6g} vs {ct_b.true_scale:.6g})"

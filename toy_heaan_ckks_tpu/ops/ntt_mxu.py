@@ -389,7 +389,9 @@ def ntt_mxu_pallas(x_lo, moduli: tuple, degree: int, inverse: bool,
     outer = x.shape[0]
     from .ntt_pallas import _auto_pair
 
-    pair = _auto_pair(outer, degree, 8, env="CKKS_MXU_PAIR")
+    # fixed per-grid-step blocks: the (128, 128) twiddle matrices and
+    # per-channel consts — a handful of planes, independent of pair
+    pair = _auto_pair(outer, degree, 8, env="CKKS_MXU_PAIR", fixed_planes=4)
 
     kernel = functools.partial(_mxu_kernel, inverse=inverse, pair=pair)
     smem = lambda shape: pl.BlockSpec(

@@ -422,7 +422,7 @@ def _ntt_factored_wide(data, moduli: tuple, degree: int, inverse: bool,
     s_count = n.bit_length() - 1
     # 2-limb planes: ~12 u32 planes of live state per item (in+out+stage
     # temporaries, two limbs each); factored twiddles are negligible
-    pair = _auto_pair(outer, n, 12, env="CKKS_NTT_PAIR")
+    pair = _auto_pair(outer, n, 12, env="CKKS_NTT_PAIR", fixed_planes=0)
 
     kernel = functools.partial(
         _ntt_kernel_fac_wide, n=n, r=r, c=c, inverse=inverse,
@@ -478,9 +478,12 @@ def ntt_pallas_wide(data, moduli: tuple, degree: int, inverse: bool,
     x = data.reshape(-1, L, 2, r, c)
     outer = x.shape[0]
     s_count = n.bit_length() - 1
-    # expanded twiddle planes already cost ~4 S-stage planes of VMEM per
-    # channel; budget the pair on the ~12 live u32 planes per 2-limb item
-    pair = _auto_pair(outer, n, 12, env="CKKS_NTT_PAIR")
+    # ~12 live u32 planes per 2-limb item; the expanded per-channel
+    # twiddle block is a FIXED per-grid-step cost: (w, wp) x 2 limbs x
+    # S stages of u32 planes (see _auto_pair's double-buffer model)
+    pair = _auto_pair(
+        outer, n, 12, env="CKKS_NTT_PAIR", fixed_planes=4 * s_count
+    )
 
     kernel = functools.partial(
         _ntt_kernel_wide, n=n, r=r, c=c, inverse=inverse,
