@@ -18,6 +18,7 @@ from .algorithms import (  # noqa: F401
     align_level,
     encrypted_std_dev,
     eval_poly_horner,
+    normalize_scale,
     sum_slots,
     sum_slots_hoisted,
 )
