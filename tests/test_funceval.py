@@ -139,9 +139,10 @@ def test_ps_wide_chain():
 def test_normalize_scale_and_combine_heal():
     """normalize_scale brings a drifted ciphertext onto an exact target
     scale (values unchanged, one level consumed); funceval._combine
-    self-heals branches whose scales drifted >0.1% apart instead of
-    raising, and the sum decodes correctly (round-4 regression: 3
-    composed sign iterations hit a 1.03% branch mismatch)."""
+    self-heals branches whose scales drifted past SCALE_MATCH_TOL (1%)
+    instead of raising, leaves sub-tolerance drift untouched, and the
+    sum decodes correctly (round-4 regression: 3 composed sign
+    iterations hit a 1.03% branch mismatch)."""
     import dataclasses
 
     from toy_heaan_ckks_tpu.models.algorithms import normalize_scale

@@ -18,10 +18,11 @@ def _load_ab_check():
 
 
 def test_retry_policy_transient_vs_deterministic(monkeypatch):
-    """Transient tunnel drops retry (up to 3 attempts, resuming from the
-    persistent compile cache); deterministic failures (VMEM OOM, kernel
-    crash, timeout) report after ONE attempt — retrying them would burn
-    hours of chip time for nothing (round-4 review finding)."""
+    """Transient tunnel drops AND timeouts retry (up to 3 attempts —
+    both resume from the persistent compile cache, so a cold-cache big
+    arm converges across attempts); deterministic failures (VMEM OOM,
+    kernel crash) report after ONE attempt — retrying them would burn
+    hours of chip time for nothing (round-4 review findings)."""
     ab = _load_ab_check()
     calls = {"n": 0}
 
@@ -59,11 +60,11 @@ def test_retry_policy_transient_vs_deterministic(monkeypatch):
     ok, err, _ = ab.run_arm_retry(None, False, "x")
     assert not ok and calls["n"] == 1 and "vmem" in err
 
-    # timeout -> exactly 1 attempt
+    # timeout -> resumable (compile cache): retried, succeeds on attempt 2
     calls["n"] = 0
-    monkeypatch.setattr(ab, "run_arm", arm_factory([timeout]))
+    monkeypatch.setattr(ab, "run_arm", arm_factory([timeout, None]))
     ok, err, _ = ab.run_arm_retry(None, False, "x")
-    assert not ok and calls["n"] == 1
+    assert ok and calls["n"] == 2
 
 
 def test_config_matrix_shape():

@@ -136,7 +136,10 @@ def run_arm(cfg, disable_pallas: bool, out_path: str) -> tuple[bool, str, float]
         return False, f"runner timed out after {limit}s", time.time() - t0
     dt = time.time() - t0
     if proc.returncode != 0:
-        return False, proc.stderr[-2000:], dt
+        # keep enough tail that a transient-fault signature buried under
+        # chained-exception / teardown output still matches in
+        # run_arm_retry's classification
+        return False, proc.stderr[-8000:], dt
     return True, "", dt
 
 
@@ -145,6 +148,10 @@ _TRANSIENT_SIGNATURES = (
     "response body closed before all bytes were read",
     "Connection reset by peer",
     "Socket closed",
+    # a timed-out arm is RESUMABLE, not deterministic: remote compiles
+    # are persistently cached, so the retry picks up where the last
+    # attempt died (cold-cache N>=2^15 staged-jnp arms need this)
+    "runner timed out after",
 )
 
 
