@@ -157,10 +157,10 @@ _TRANSIENT_SIGNATURES = (
 
 def run_arm_retry(cfg, disable_pallas: bool, out_path: str,
                   attempts: int = 3) -> tuple[bool, str, float]:
-    """Retry ONLY transient tunnel faults (connection drops). Compiles
-    are persistently cached, so a retry resumes where the last attempt
-    died rather than starting over. Deterministic failures (kernel
-    crash, VMEM OOM, a genuine timeout) report immediately — retrying
+    """Retry transient tunnel faults (connection drops) AND timeouts:
+    compiles are persistently cached, so a timed-out arm resumes where
+    the last attempt died rather than starting over. Deterministic
+    failures (kernel crash, VMEM OOM) report immediately — retrying
     them would burn up to 3x the per-arm limit for nothing."""
     err, dt = "", 0.0
     for _ in range(attempts):
