@@ -235,6 +235,124 @@ def test_bootstrap_end_to_end():
     np.testing.assert_allclose(got[: len(a)], a, atol=2e-3)
 
 
+def test_grouped_dft_factorization_exact():
+    """The FFT-stage factorization reproduces the dense CtS/StC matrices
+    to machine precision: stc groups multiply to A with bit-reversed
+    columns, cts groups to R @ P, and their composition is the identity
+    (the bit-reversal cancels between the two transforms)."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        _cts_diagonals,
+        _grouped_dft_diagonals,
+    )
+
+    for deg, levels in ((32, 2), (64, 3), (256, 4)):
+        n2 = deg // 2
+        m = n2.bit_length() - 1
+        P_diags, A_diags = _cts_diagonals(deg)
+        k = np.arange(n2)
+        A = np.zeros((n2, n2), complex)
+        P = np.zeros((n2, n2), complex)
+        for r in range(n2):
+            A[k, (k + r) % n2] = A_diags[r]
+            P[k, (k + r) % n2] = P_diags[r]
+        cts, stc = _grouped_dft_diagonals(deg, levels)
+
+        def dense(D):
+            M = np.zeros((n2, n2), complex)
+            for r, d in D.items():
+                M[k, (k + r) % n2] = d
+            return M
+
+        rev = np.array(
+            [int(format(i, f"0{m}b")[::-1], 2) for i in range(n2)]
+        )
+        S = np.eye(n2, dtype=complex)
+        for G in stc:  # application order: S_total = G_last @ ... @ G_0
+            S = dense(G) @ S
+        C = np.eye(n2, dtype=complex)
+        for G in cts:
+            C = dense(G) @ C
+        np.testing.assert_allclose(S, A[:, rev], atol=1e-12)
+        np.testing.assert_allclose(C, P[rev, :], atol=1e-12)
+        np.testing.assert_allclose(S @ C, np.eye(n2), atol=1e-12)
+        # sparsity: each group has ~2^{s+1} diagonals, not n2
+        assert all(len(g) <= 2 ** (m // levels + 2) for g in cts + stc)
+
+
+def test_factored_cts_stc_roundtrip():
+    """Factored (levels=2) CtS then StC is the identity on slots, and
+    each matvec level's rotation keys are evicted after use."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        coeff_to_slot,
+        slot_to_coeff,
+    )
+
+    deg, scale, count = 64, 31, 5
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    params = CkksParams(3.2, 4, scale)
+    eng = CkksEngine(full, params)
+    rng = make_rng(21)
+    sk = eng.generate_secret_key(rng)
+    pk = eng.generate_public_key(sk, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True)
+    bkeys = BootstrapKeys(ladder, params, rng)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(7)
+    a = rng2.uniform(-0.5, 0.5, deg // 2) + 1j * rng2.uniform(
+        -0.5, 0.5, deg // 2
+    )
+    ct = eng.encrypt(enc.encode_complex(a, full), pk, full.total_bits(), rng)
+
+    t = coeff_to_slot(ct, bkeys, enc, levels=2)
+    back = slot_to_coeff(t, bkeys, enc, levels=2)
+    assert back.level == count - 4  # 2 levels per factored DFT
+
+    out = enc.decode_complex(CkksEngine.decrypt(back, sk.reduce_to(back.ctx)))
+    np.testing.assert_allclose(out[: len(a)], a, atol=2e-4)
+    assert len(bkeys._rot) == 0  # every matvec level was evicted
+
+
+def test_bootstrap_factored_dft_ds4():
+    """Full bootstrap on the factored-DFT path with digit_size=4 hybrid
+    keys (the production configuration for large N): same message back,
+    level accounting = count - (deg + r + 2 + 2*dft_levels)."""
+    from toy_heaan_ckks_tpu.models.bootstrap import (
+        BootstrapKeys,
+        bootstrap,
+    )
+
+    deg, scale, count = 32, 31, 19
+    full = CkksContext.build(generate_primes(scale, count, deg), deg)
+    ctx1 = full.slice_channels(0, 1)
+    params = CkksParams(3.2, 2, scale)
+    rng = make_rng(33)
+    eng_full = CkksEngine(full, params)
+    sk = eng_full.generate_secret_key(rng)
+    sk1 = sk.reduce_to(ctx1)
+    eng1 = CkksEngine(ctx1, params)
+    pk1 = eng1.generate_public_key(sk1, rng)
+    ladder = KeyLadder(full, sk, 3.2, rng, lazy=True, digit_size=4)
+    bkeys = BootstrapKeys(ladder, params, rng, digit_size=4)
+
+    enc = CkksEncoder(deg, scale)
+    rng2 = np.random.default_rng(9)
+    a = rng2.uniform(-0.02, 0.02, deg // 2)
+    ct1 = eng1.encrypt(enc.encode(a, ctx1), pk1, ctx1.total_bits(), rng)
+
+    r_dbl, cheb_deg, dft_levels = 5, 6, 2
+    out = bootstrap(
+        ct1, full, bkeys, params, enc, r=r_dbl, deg=cheb_deg,
+        dft_levels=dft_levels,
+    )
+    assert out.level == count - (cheb_deg + r_dbl + 2 + 2 * dft_levels)
+    assert out.level > ct1.level
+
+    got = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))
+    np.testing.assert_allclose(got[: len(a)], a, atol=2e-3)
+
+
 def test_bootstrap_ps_eval_mod():
     """Bootstrap with the Paterson-Stockmeyer EvalMod (method="ps"):
     same message within the sine-approximation error, and at least as

@@ -497,12 +497,14 @@ class KeyLadder:
         rotations: tuple = (),
         min_level: int = 1,
         lazy: bool = False,
+        digit_size: int = 1,
     ):
         self.levels: dict[int, LevelKeys] = {}
         self._std = float(error_variance) ** 0.5
         self._sk = sk
         self._rng = rng
         self._rotations = tuple(rotations)
+        self.digit_size = digit_size
         self._min_level = max(1, min_level)
         self._ctxs: dict[int, CkksContext] = {}
         ctx = master_ctx
@@ -519,10 +521,13 @@ class KeyLadder:
         ctx = self._ctxs[num_channels]
         sk_l = self._sk.reduce_to(ctx)
         pk_l = PublicKey.generate(sk_l, 3.2, ctx, self._rng)
-        rlk_l = RnsGadgetRelinKey.generate(sk_l, self._std, ctx, self._rng)
+        rlk_l = RnsGadgetRelinKey.generate(
+            sk_l, self._std, ctx, self._rng, digit_size=self.digit_size
+        )
         rot_l = {
             r: RnsGadgetRotationKey.generate(
-                sk_l, r, self._std, ctx, self._rng
+                sk_l, r, self._std, ctx, self._rng,
+                digit_size=self.digit_size,
             )
             for r in self._rotations
         }

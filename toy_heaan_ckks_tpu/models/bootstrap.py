@@ -241,13 +241,14 @@ class BootstrapKeys:
     lazily per level here (mirroring KeyLadder's lazy mode).
     """
 
-    def __init__(self, ladder, params, rng):
+    def __init__(self, ladder, params, rng, digit_size: int = 1):
         from ..keys import KeyLadder  # noqa: F401 (typing aid)
 
         self.ladder = ladder
         self.params = params
         self._rng = rng
         self._std = float(params.error_variance) ** 0.5
+        self.digit_size = digit_size
         self._rot: dict[tuple[int, int], object] = {}
         self._conj: dict[int, object] = {}
 
@@ -259,9 +260,17 @@ class BootstrapKeys:
 
             lvl = self.ladder.at_level(level)
             self._rot[key] = RnsGadgetRotationKey.generate(
-                lvl.sk, offset, self._std, lvl.ctx, self._rng
+                lvl.sk, offset, self._std, lvl.ctx, self._rng,
+                digit_size=self.digit_size,
             )
         return self._rot[key]
+
+    def evict_level(self, level: int) -> None:
+        """Drop cached rotation keys at ``level``. The factored-DFT
+        bootstrap visits each matvec level once; holding every level's
+        key set alive would dominate device memory at production N."""
+        for key in [k for k in self._rot if k[0] == level]:
+            del self._rot[key]
 
     def rot_map(self, level: int) -> dict:
         """Rotation keys {offset: key} for offsets 1..N/2-1 at ``level``.
@@ -279,7 +288,8 @@ class BootstrapKeys:
 
             lvl = self.ladder.at_level(level)
             self._conj[level] = RnsGadgetConjugationKey.generate(
-                lvl.sk, self._std, lvl.ctx, self._rng
+                lvl.sk, self._std, lvl.ctx, self._rng,
+                digit_size=self.digit_size,
             )
         return self._conj[level]
 
@@ -367,34 +377,196 @@ def _matvec(ct, bkeys, diags, encoder, giant) -> Ciphertext:
 
 
 def coeff_to_slot(
-    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto"
+    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto",
+    levels: int | None = None,
 ) -> Ciphertext:
     """Homomorphic CoeffToSlot: slots become t_j = (m_j + i*m_{j+N/2})/Delta.
 
     The decryption coefficients m_j land in the slots, complex-packed
-    (real parts = low half, imaginary parts = high half). One hoisted
-    diagonal matvec + one rescale (consumes 1 level). ``giant``:
-    "auto" (default) picks dense vs BSGS by N; an int forces that BSGS
-    giant-step size; None forces the dense double-hoisted matvec.
+    (real parts = low half, imaginary parts = high half). With
+    ``levels=None`` (default): one hoisted diagonal matvec + one rescale
+    (consumes 1 level); ``giant``: "auto" picks dense vs BSGS by N; an
+    int forces that BSGS giant-step size; None forces the dense
+    double-hoisted matvec. With ``levels=k``: the factored FFT-stage
+    path — k sparse hoisted matvecs (~2^{m/k+1} diagonals each,
+    m = log2(N/2)), consuming k levels, with the packed coefficients
+    landing BIT-REVERSED in the slots (slot-wise EvalMod is unaffected;
+    ``slot_to_coeff`` with the same ``levels`` undoes it).
     """
+    if levels is not None:
+        cts_groups, _ = _grouped_dft_diagonals(ct.ctx.degree, levels)
+        return _matvec_grouped(ct, bkeys, cts_groups, encoder)
     P_diags, _ = _cts_diagonals(ct.ctx.degree)
     out = _matvec(ct, bkeys, P_diags, encoder, giant)
     return CkksEngine.rescale_ciphertext(out)
 
 
 def slot_to_coeff(
-    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto"
+    ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto",
+    levels: int | None = None,
 ) -> Ciphertext:
     """Homomorphic SlotToCoeff: inverse of ``coeff_to_slot``.
 
     Input slots t_j = v_j + i*w_j; output ciphertext's decryption
     coefficients are (v | w) * Delta — i.e. slots return to the
-    canonical embedding of that coefficient vector. Consumes 1 level.
-    ``giant``: as in ``coeff_to_slot``.
+    canonical embedding of that coefficient vector. Consumes 1 level
+    (``levels=None``) or ``levels`` levels (factored path, consuming
+    the bit-reversed order ``coeff_to_slot`` produced). ``giant``: as
+    in ``coeff_to_slot``.
     """
+    if levels is not None:
+        _, stc_groups = _grouped_dft_diagonals(ct.ctx.degree, levels)
+        return _matvec_grouped(ct, bkeys, stc_groups, encoder)
     _, A_diags = _cts_diagonals(ct.ctx.degree)
     out = _matvec(ct, bkeys, A_diags, encoder, giant)
     return CkksEngine.rescale_ciphertext(out)
+
+
+# ── Stage 3b: factored (multi-level) homomorphic DFTs ────────────────────────
+#
+# The dense CtS/StC matvec touches all N/2 diagonals at one level — fine
+# for toy degrees, quadratic pain at production ones (N=2^13: 4096
+# plaintext diagonals per matvec). Production bootstrap (HEAAN, Lattigo,
+# SEAL) instead factors the special DFT into its FFT butterfly stages
+# and groups them into a few sparse levels. The identity (verified to
+# machine precision in tests/test_bootstrap.py):
+#
+#     A = F_1 @ F_2 @ ... @ F_m @ R,        m = log2(N/2)
+#
+# where A[k,j] = zeta_k^j is the StC matrix, R is the bit-reversal
+# permutation, and each F_i is a 3-cyclic-diagonal butterfly (offsets
+# {0, +-(N/2)/2^i}; stage 1's +-h coincide mod n2). Each group of s
+# consecutive stages multiplies into a matrix with ~2^{s+1} cyclic
+# diagonals. Because EvalMod acts slot-wise, the R between CtS and StC
+# CANCELS: CtS evaluates F_m^{-1}...F_1^{-1} (packed coefficients land
+# in slots bit-reversed), StC evaluates F_1...F_m on that same order.
+
+
+def _stage_diagonals(degree: int, i: int, inverse: bool):
+    """Cyclic diagonals {offset: vec(n2) complex} of butterfly stage F_i
+    (or its inverse), i in 0..m-1. Stage i is I_{2^i} (x) B_{N/2^i}:
+    out[k]      = in[k] + z_k in[k+h]          (local k < h)
+    out[k+h]    = in[k] - z_k in[k+h]
+    with h = (N/2^i)/4 and z_k = psi_M^{J_M(k)} the degree-M=N/2^i
+    J-ordered roots. The inverse butterfly is likewise 3-diagonal."""
+    from ..encoding.embedding import j_exponents
+
+    n2 = degree // 2
+    M = degree >> i
+    m2, h = M // 2, M // 4
+    z = np.exp(1j * np.pi * j_exponents(M)[:h] / M)
+    k = np.arange(n2)
+    loc = k % m2
+    lo = loc < h
+    zz = z[loc % h]
+    if not inverse:
+        d0 = np.where(lo, 1.0 + 0j, -zz)
+        dp = np.where(lo, zz, 0)
+        dm = np.where(lo, 0, 1.0 + 0j)
+    else:
+        d0 = np.where(lo, 0.5 + 0j, -0.5 / zz)
+        dp = np.where(lo, 0.5 + 0j, 0)
+        dm = np.where(lo, 0, 0.5 / zz)
+    out: dict[int, np.ndarray] = {0: d0}
+    for off, d in ((h % n2, dp), ((n2 - h) % n2, dm)):
+        out[off] = out.get(off, 0) + d  # stage 1: +-h coincide mod n2
+    return out
+
+
+def _compose_diagonals(A: dict, B: dict, n2: int, tol: float = 1e-13) -> dict:
+    """Cyclic diagonals of A @ B from those of A and B:
+    (A@B) diag r = sum_{r1+r2=r} dA_{r1} * roll(dB_{r2}, -r1)."""
+    out: dict[int, np.ndarray] = {}
+    for r1, d1 in A.items():
+        for r2, d2 in B.items():
+            r = (r1 + r2) % n2
+            v = d1 * np.roll(d2, -r1)
+            out[r] = out.get(r, 0) + v
+    top = max(np.abs(v).max() for v in out.values())
+    return {r: v for r, v in out.items() if np.abs(v).max() > tol * top}
+
+
+def _split_stages(m: int, levels: int) -> list[int]:
+    """Partition m butterfly stages into ``levels`` contiguous groups,
+    sizes as equal as possible (larger groups first — they carry the
+    coarsest strides and smallest diagonal counts)."""
+    if not (1 <= levels <= m):
+        raise CkksError(f"dft levels must be in [1, {m}], got {levels}")
+    base, extra = divmod(m, levels)
+    return [base + (g < extra) for g in range(levels)]
+
+
+@functools.lru_cache(maxsize=8)
+def _grouped_dft_diagonals(degree: int, levels: int):
+    """(cts_groups, stc_groups): per-level cyclic-diagonal dicts, each
+    list in HOMOMORPHIC APPLICATION ORDER (apply groups[0] first).
+
+    With group products G_g = F_{a_g}...F_{b_g}: StC computes
+    z = G_1 ... G_glast t (innermost G_glast applied first), CtS
+    computes t = G_glast^-1 ... G_1^-1 z (G_1^-1 applied first) — the
+    shared bit-reversal cancels. Applying cts_groups then stc_groups in
+    order is the identity. Each dict maps offset -> complex diagonal
+    vector (length N/2)."""
+    n2 = degree // 2
+    m = n2.bit_length() - 1
+    sizes = _split_stages(m, levels)
+    stc_groups: list[dict] = []
+    cts_groups: list[dict] = []
+    i = 0
+    for s in sizes:
+        G = _stage_diagonals(degree, i, False)
+        for j in range(i + 1, i + s):
+            G = _compose_diagonals(G, _stage_diagonals(degree, j, False), n2)
+        stc_groups.append(G)
+        Gi = _stage_diagonals(degree, i + s - 1, True)
+        for j in range(i + s - 2, i - 1, -1):
+            Gi = _compose_diagonals(
+                Gi, _stage_diagonals(degree, j, True), n2
+            )
+        cts_groups.append(Gi)
+        i += s
+    stc_groups.reverse()  # A = G_1 ... G_glast: innermost applied first
+    return tuple(cts_groups), tuple(stc_groups)
+
+
+def _matvec_diagonal_map(
+    ct: Ciphertext, bkeys: "BootstrapKeys", diag_map: dict, encoder
+) -> Ciphertext:
+    """One sparse diagonal matvec: sum_r diag_r o rot_r(ct), hoisted.
+
+    All nonzero offsets share ONE gadget decomposition and ONE P
+    mod-down (rotate_weighted_sum_hoisted); the r=0 diagonal is a plain
+    multiply folded in. Follow with ``rescale_ciphertext``."""
+    level = ct.level
+    offs = sorted(r for r in diag_map if r != 0)
+    rotks = [bkeys.rot_key(level, r) for r in offs]
+    acc = None
+    if rotks:
+        ext_ctx = rotks[0].ext_ctx
+        pts = [encoder.encode_complex(diag_map[r], ext_ctx) for r in offs]
+        acc = CkksEngine.rotate_weighted_sum_hoisted(ct, rotks, pts)
+    if 0 in diag_map:
+        pt0 = encoder.encode_complex(diag_map[0], ct.ctx)
+        term = CkksEngine.mul_plain(ct, pt0)
+        acc = term if acc is None else CkksEngine.add_ciphertexts(acc, term)
+    return acc
+
+
+def _matvec_grouped(
+    ct: Ciphertext, bkeys: "BootstrapKeys", groups, encoder
+) -> Ciphertext:
+    """Apply the grouped-stage factored DFT: one hoisted sparse matvec +
+    rescale per group (consumes len(groups) levels). Evicts each level's
+    rotation keys after use — a production bootstrap visits each matvec
+    level exactly once, and keeping ~2^{s+1} gadget keys per level alive
+    across all levels would dominate device memory."""
+    for diag_map in groups:
+        level = ct.level
+        ct = CkksEngine.rescale_ciphertext(
+            _matvec_diagonal_map(ct, bkeys, diag_map, encoder)
+        )
+        bkeys.evict_level(level)
+    return ct
 
 
 # ── Stage 4: EvalMod (scaled sine) and the full bootstrap ────────────────────
@@ -480,14 +652,18 @@ def bootstrap(
     deg: int = 6,
     giant="auto",
     method: str = "linear",
+    dft_levels: int | None = None,
 ) -> Ciphertext:
     """Refresh a level-1 ciphertext: same message, higher level.
 
     Pipeline (Cheon-Han-Kim-Kim-Song, EUROCRYPT'18): raise_modulus ->
     CoeffToSlot -> EvalMod on the real and imaginary packed halves ->
-    SlotToCoeff. Output level = target - (deg + r + 4); the message
-    must satisfy |m|/q0 << 1 (the sine linearization error is
-    ~ (2 pi |m|/q0)^2 / 6 relative).
+    SlotToCoeff. Output level = target - (deg + r + 4) for the default
+    single-level DFTs, or target - (deg + r + 2 + 2*dft_levels) with
+    the factored path (``dft_levels`` sparse matvec levels per DFT —
+    the production choice at N >= 2^10, where the dense matvec's N/2
+    diagonals are infeasible). The message must satisfy |m|/q0 << 1
+    (the sine linearization error is ~ (2 pi |m|/q0)^2 / 6 relative).
 
     The reference has no counterpart (its chain only ever shrinks,
     engine.rs:255-282); this is the capability that turns a levelled
@@ -501,7 +677,8 @@ def bootstrap(
         hw = params.hamming_weight
         K = int(np.ceil((1 + hw) / 2 + 1)) + 1
 
-    t = coeff_to_slot(raised, bkeys, encoder, giant=giant)
+    t = coeff_to_slot(raised, bkeys, encoder, giant=giant,
+                      levels=dft_levels)
     t_conj = CkksEngine.conjugate_ciphertext(t, bkeys.conj(t.level))
     s_plus = CkksEngine.add_ciphertexts(t, t_conj)  # 2*Re(t)
     s_minus = CkksEngine.sub_ciphertexts(t, t_conj)  # 2i*Im(t)
@@ -519,4 +696,5 @@ def bootstrap(
         method=method,
     )
     m_t = CkksEngine.add_ciphertexts(m_re, m_im)
-    return slot_to_coeff(m_t, bkeys, encoder, giant=giant)
+    return slot_to_coeff(m_t, bkeys, encoder, giant=giant,
+                         levels=dft_levels)
