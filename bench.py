@@ -259,6 +259,165 @@ def _measure_ntt_roofline() -> dict:
     return out
 
 
+def _compare(name: str, reps: int = 11) -> dict:
+    """In-window paired A/B: candidate vs control, interleaved.
+
+    Window-level chip contention makes numbers from different bench runs
+    incomparable (±25%, CLAUDE.md) — so a perf claim is only falsifiable
+    when both implementations are measured in the SAME process, minutes
+    apart, with the same marginal-loop method. This interleaves
+    control/candidate marginal measurements rep by rep and reports the
+    per-rep delta distribution; the median delta is the claim.
+
+    Comparisons (control is always the shipped default):
+      pair-off   candidate disables multi-plane grid-step pairing in the
+                 fused composite kernels (CKKS_FUSED_PAIR=1). The tuned
+                 pairing should WIN (~+10%/channel-NTT at N=2^14 ds4) —
+                 a harness-validation comparison with a known sign.
+      seq-mul    candidate is the sequential engine path (separate
+                 key-switch mod-down + rescale, 2L more channel-NTTs)
+                 vs the fused mul_relin_rescale composite.
+      ntt-swap   candidate sets CKKS_NTT_MOVE=swap (single-partner-swap
+                 movement formulation; measured 2.21 vs 1.64 us in round
+                 2 — control should win).
+
+    Env-knob candidates work by toggling the knob while TRACING a
+    separate jit instance (kernel structure is baked at trace time;
+    the knob is read inside the kernel-call wrapper, not cached).
+    """
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toy_heaan_ckks_tpu import (
+        CkksContext,
+        CkksEngine,
+        CkksParams,
+        generate_primes,
+    )
+    from toy_heaan_ckks_tpu.math.sampling import make_rng
+    from toy_heaan_ckks_tpu.ops.poly import Poly
+    from toy_heaan_ckks_tpu.parallel.sharded import _mul_relin_rescale_arrays
+
+    degree, L, bits, ds, batch = (
+        DEGREE, NUM_PRIMES, PRIME_BITS, DIGIT_SIZE, BATCH
+    )
+    iters = 48
+    ctx = CkksContext.build(generate_primes(bits, L, degree), degree)
+    engine = CkksEngine(ctx, CkksParams(3.2, degree // 2, bits))
+    rng = make_rng(7)
+    sk = engine.generate_secret_key(rng)
+    rlk = engine.generate_gadget_relin_key(sk, rng, digit_size=ds)
+    child = ctx.drop_last(1)
+
+    def rand_ct(seed):
+        r = make_rng(seed)
+        return jnp.stack(
+            [
+                Poly.sample_uniform(ctx, r).to_ntt_domain().data
+                for _ in range(batch)
+            ]
+        )
+
+    c0a, c1a, c0b, c1b = (rand_ct(s) for s in (1, 2, 3, 4))
+
+    def fused_body(a, a1, b0, b1):
+        return _mul_relin_rescale_arrays(
+            a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, child,
+            digit_size=ds,
+        )
+
+    def seq_body(a, a1, b0, b1):
+        from toy_heaan_ckks_tpu.engine import _mul_gadget_core
+        from toy_heaan_ckks_tpu.ops import poly as pops
+
+        o0, o1 = _mul_gadget_core(
+            a, a1, b0, b1, rlk.a, rlk.b, ctx, rlk.ext_ctx, digit_size=ds
+        )
+        return (
+            pops.rescale_ntt(o0, ctx),
+            pops.rescale_ntt(o1, ctx),
+        )
+
+    def make_loop(body):
+        @functools.partial(jax.jit, static_argnames=("n_iters",))
+        def fn(a0, a1, b0, b1, n_iters):
+            def step(i, carry):
+                a = a0.at[0, 0, 0, 0].set(carry[0, 0, 0, 0])
+                out = body(a, a1, b0, b1)
+                return out[0].at[0, 0, 0, 0].add(out[1][0, 0, 0, 0])
+
+            init = jnp.zeros((batch, L - 1, 2, degree), dtype=jnp.uint32)
+            return jax.lax.fori_loop(0, n_iters, step, init)
+
+        return fn
+
+    knobs = {
+        "pair-off": {"CKKS_FUSED_PAIR": "1", "CKKS_NTT_PAIR": "1"},
+        "ntt-swap": {"CKKS_NTT_MOVE": "swap"},
+    }
+    if name in knobs:
+        control = make_loop(fused_body)
+        candidate = make_loop(fused_body)
+        cand_env = knobs[name]
+    elif name == "seq-mul":
+        control = make_loop(fused_body)
+        candidate = make_loop(seq_body)
+        cand_env = {}
+    else:
+        raise SystemExit(f"unknown comparison {name!r}")
+
+    short, long_ = 1, 1 + iters
+
+    def timed(fn, n_iters):
+        t0 = time.time()
+        out = fn(c0a, c1a, c0b, c1b, n_iters)
+        np.asarray(out[0, 0, 0, :4])
+        return time.time() - t0
+
+    # trace+compile: control with clean env, candidate with the knob set
+    # (kernel structure bakes at trace time)
+    timed(control, short)
+    timed(control, long_)
+    saved = {k: os.environ.get(k) for k in cand_env}
+    os.environ.update(cand_env)
+    try:
+        timed(candidate, short)
+        timed(candidate, long_)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    per = (long_ - short) * batch
+    deltas, ctl, cnd = [], [], []
+    for _ in range(reps):
+        cs = timed(control, short)
+        cl = timed(control, long_)
+        as_ = timed(candidate, short)
+        al = timed(candidate, long_)
+        c = max(cl - cs, 1e-9) / per
+        a = max(al - as_, 1e-9) / per
+        ctl.append(c)
+        cnd.append(a)
+        deltas.append(100.0 * (c - a) / c)  # >0: candidate faster
+
+    deltas.sort()
+    q = lambda p: deltas[min(len(deltas) - 1, int(p * len(deltas)))]
+    return {
+        "compare": name,
+        "config": f"N=2^14 L={L}x{bits}b ds={ds} batch={batch}",
+        "control_us_per_mult": round(statistics.median(ctl) * 1e6, 2),
+        "candidate_us_per_mult": round(statistics.median(cnd) * 1e6, 2),
+        "delta_pct_median": round(statistics.median(deltas), 2),
+        "delta_pct_q25_q75": [round(q(0.25), 2), round(q(0.75), 2)],
+        "reps": reps,
+        "note": "delta_pct > 0 means the candidate is FASTER",
+    }
+
+
 def _cpu_baseline_sec_per_mult() -> float | None:
     if os.path.exists(_CPU_CACHE):
         try:
@@ -308,6 +467,11 @@ def _wide_jnp_sec_per_mult() -> float | None:
 
 
 def main():
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        name = sys.argv[i + 1] if i + 1 < len(sys.argv) else "pair-off"
+        print(json.dumps(_compare(name)))
+        return
     if os.environ.get("BENCH_CPU_MODE"):
         # subprocess mode: measure on CPU with few iterations, print number
         import jax

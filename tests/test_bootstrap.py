@@ -314,16 +314,17 @@ def test_factored_cts_stc_roundtrip():
     assert len(bkeys._rot) == 0  # every matvec level was evicted
 
 
-def test_bootstrap_factored_dft_ds4():
+def test_bootstrap_factored_dft_ds4_arcsine():
     """Full bootstrap on the factored-DFT path with digit_size=4 hybrid
-    keys (the production configuration for large N): same message back,
-    level accounting = count - (deg + r + 2 + 2*dft_levels)."""
+    keys and the arcsine cubic correction (the production configuration
+    for large N): same message back, level accounting =
+    count - (deg + r + 2 + 2*dft_levels + 2)."""
     from toy_heaan_ckks_tpu.models.bootstrap import (
         BootstrapKeys,
         bootstrap,
     )
 
-    deg, scale, count = 32, 31, 19
+    deg, scale, count = 32, 31, 21
     full = CkksContext.build(generate_primes(scale, count, deg), deg)
     ctx1 = full.slice_channels(0, 1)
     params = CkksParams(3.2, 2, scale)
@@ -344,9 +345,9 @@ def test_bootstrap_factored_dft_ds4():
     r_dbl, cheb_deg, dft_levels = 5, 6, 2
     out = bootstrap(
         ct1, full, bkeys, params, enc, r=r_dbl, deg=cheb_deg,
-        dft_levels=dft_levels,
+        dft_levels=dft_levels, arcsine=True,
     )
-    assert out.level == count - (cheb_deg + r_dbl + 2 + 2 * dft_levels)
+    assert out.level == count - (cheb_deg + r_dbl + 2 + 2 * dft_levels + 2)
     assert out.level > ct1.level
 
     got = enc.decode(CkksEngine.decrypt(out, sk.reduce_to(out.ctx)))

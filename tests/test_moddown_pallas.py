@@ -115,3 +115,51 @@ def test_combined_division_exact_floor():
         got = int(out_ints[j]) % Qc
         diff = (got - want) % Qc
         assert min(diff, Qc - diff) <= len(dropped) + 1
+
+
+def test_mod_down_ntt_extension_error_bound():
+    """engine._mod_down_ntt's approximate basis extension vs the EXACT
+    big-int mod-down: |error| <= g' (the number of special primes), for
+    g' in {1, 2} — the bound engine.py:206-213 argues in prose. The
+    error is the same small integer e in [0, g') on every channel
+    (x - (x mod P + e*P) is divisible by P), so the test also checks
+    cross-channel consistency."""
+    from toy_heaan_ckks_tpu.engine import _mod_down_ntt
+
+    rng = np.random.default_rng(31)
+    for ds in (1, 2):
+        ctx, ext, rlk = _setup(degree=64, L=4, ds=ds)
+        L = len(ctx.moduli)
+        gp = len(ext.moduli) - L
+        assert gp == ds  # digit_size specials by default
+        plan = _switch_plan(ctx.moduli, ext.moduli, rlk.digit_size)
+
+        QP = 1
+        for m in ext.moduli:
+            QP *= m
+        P = 1
+        for m in ext.moduli[L:]:
+            P *= m
+        xs = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 60))
+              % QP for _ in range(ctx.degree)]
+        x = Poly.from_coeffs(np.array(xs, dtype=object), ext)
+        got = _mod_down_ntt(x.to_ntt_domain().data, ctx, ext, plan)
+        got_ints = Poly(got, ctx, True).to_coeff_domain()
+
+        # compare residues per channel against the exact floor division
+        from toy_heaan_ckks_tpu.ops import modular as mm
+
+        plain = np.asarray(mm.from_mont(got_ints.data, ctx.chain))
+        lo = plain[..., 0, :].astype(object)
+        hi = plain[..., 1, :].astype(object)
+        got_res = lo + (hi << 32)  # (L, N) plain residues
+        for j in range(ctx.degree):
+            exact = (xs[j] - (xs[j] % P)) // P
+            errs = set()
+            for ci, q in enumerate(ctx.moduli):
+                d = (int(got_res[ci][j]) - exact) % q
+                d = d if d <= q // 2 else d - q
+                errs.add(d)
+            assert len(errs) == 1, f"inconsistent extension error {errs}"
+            (e,) = errs
+            assert abs(e) <= gp, f"extension error {e} exceeds g'={gp}"

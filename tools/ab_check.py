@@ -19,7 +19,10 @@ Usage:
 
 Composites covered per config: forward/inverse NTT, fused batched
 mul+relin+rescale, sequential engine mul (gadget) + rescale, rotation via
-gadget key switch.
+gadget key switch, hoisted rotation (single-decomposition multi-rotate,
+double-hoisted sum, double-hoisted weighted sum — the bootstrap/linalg
+hot paths whose lo-plane branches only execute on TPU), square, and
+conjugation.
 """
 
 from __future__ import annotations
@@ -109,6 +112,40 @@ out["seq_mul1"] = np.asarray(ct.c1.data)
 cr = CkksEngine.rotate_ciphertext(mk(0), rotk)
 out["rot0"] = np.asarray(cr.c0.data)
 out["rot1"] = np.asarray(cr.c1.data)
+
+# hoisted composites (bootstrap/linalg hot paths): their small_fast
+# lo-plane branches execute ONLY on TPU, so on-chip A/B is the only
+# place they are ever bit-compared against the generic branch
+rotk2 = eng.generate_gadget_rotation_key(sk, 2, rng, digit_size=digit_size)
+cjk = eng.generate_conjugation_key(sk, rng, digit_size=digit_size)
+
+hs = CkksEngine.rotate_hoisted(mk(0), [rotk, rotk2])
+for i, c in enumerate(hs):
+    out[f"hoist{i}_0"] = np.asarray(c.c0.data)
+    out[f"hoist{i}_1"] = np.asarray(c.c1.data)
+
+srot = CkksEngine.rotate_sum_hoisted(mk(0), [rotk, rotk2])
+out["hsum0"] = np.asarray(srot.c0.data)
+out["hsum1"] = np.asarray(srot.c1.data)
+
+from toy_heaan_ckks_tpu import CkksEncoder
+enc = CkksEncoder(degree, bits)
+rng2 = np.random.default_rng(99)
+diags = rng2.uniform(-1, 1, (2, degree // 2)) + 1j * rng2.uniform(
+    -1, 1, (2, degree // 2)
+)
+pts = [enc.encode_complex(d, rotk.ext_ctx) for d in diags]
+wsum = CkksEngine.rotate_weighted_sum_hoisted(mk(0), [rotk, rotk2], pts)
+out["hwsum0"] = np.asarray(wsum.c0.data)
+out["hwsum1"] = np.asarray(wsum.c1.data)
+
+sq = CkksEngine.square_ciphertext(mk(0), rlk)
+out["square0"] = np.asarray(sq.c0.data)
+out["square1"] = np.asarray(sq.c1.data)
+
+cj = CkksEngine.conjugate_ciphertext(mk(0), cjk)
+out["conj0"] = np.asarray(cj.c0.data)
+out["conj1"] = np.asarray(cj.c1.data)
 
 np.savez(out_path, **out)
 print("runner done", flush=True)

@@ -88,17 +88,24 @@ def raise_modulus(ct: Ciphertext, target_ctx: CkksContext) -> Ciphertext:
     ctx = ct.ctx
     if ctx.num_channels != 1:
         raise CkksError("raise_modulus: ciphertext must be at level 1")
-    if not (ctx.chain.small and target_ctx.chain.small):
-        raise CkksError("raise_modulus: small-prime chains only")
-    q0 = ctx.moduli[0]
-    if any(2 * q <= q0 for q in target_ctx.moduli):
-        raise CkksError(
-            "raise_modulus: every target prime must exceed q0/2"
-        )
     if target_ctx.degree != ctx.degree:
         raise CkksError("raise_modulus: ring degree mismatch")
+    q0 = ctx.moduli[0]
+    fast = (
+        ctx.chain.small
+        and target_ctx.chain.small
+        and all(2 * q > q0 for q in target_ctx.moduli)
+    )
 
     def lift(poly: Poly) -> Poly:
+        if not fast:
+            # general chains (e.g. wide q0 ~ 2^55 over 45-bit scale
+            # primes, the production bootstrap layout): exact host
+            # big-int lift — to_coeffs on a level-1 poly IS the
+            # centered representative in (-q0/2, q0/2], and from_coeffs
+            # reduces it into every target channel exactly
+            coeffs = poly.to_coeffs()
+            return Poly.from_coeffs(coeffs, target_ctx).to_ntt_domain()
         data = poly.to_coeff_domain().data  # (1, 2, N) Montgomery
         plain = mm.from_mont(data, ctx.chain)[..., 0, :]  # (1, N)
         v = _raise_lo(plain, q0, target_ctx)  # (Lt, N) plain
@@ -151,6 +158,7 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
     ``ladder``: KeyLadder covering ct's level down to level-deg.
     """
     from .algorithms import _add_const, align_level
+    from .funceval import _combine
 
     coeffs = [complex(c) for c in coeffs]
     deg = len(coeffs) - 1
@@ -160,7 +168,12 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
     def engine_at(level):
         return CkksEngine(ladder.at_level(level).ctx, params)
 
-    # acc = c0 + c1*x at x's scale
+    # acc = c0 + c1*x at x's scale. Branch adds/subs go through
+    # funceval._combine: on mixed-width scale-matched chains
+    # (build_modulus_chain) different multiply histories reach a level
+    # with diverged integer logp claims even though the exact tracked
+    # scales agree — _combine reconciles logp and lets the true-scale
+    # check be the authority.
     t_prev = None  # T_{k-1}(x) ciphertext
     t_cur = ct  # T_1 = x
     acc = CkksEngine.rescale_ciphertext(
@@ -176,10 +189,7 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
         eng = engine_at(t_next.level)
         t_next = CkksEngine.add_ciphertexts(t_next, t_next)  # 2xT
         if t_prev is not None:
-            prev_al = align_level(
-                engine_at(t_prev.level), t_prev, t_next.level
-            )
-            t_next = CkksEngine.sub_ciphertexts(t_next, prev_al)
+            t_next = _combine(engine_at, t_next, t_prev, sub=True)
         else:
             t_next = _add_const(eng, t_next, -1.0)  # T_0 = 1
         t_prev, t_cur = t_cur, t_next
@@ -187,8 +197,7 @@ def eval_chebyshev(ladder, params, ct: Ciphertext, coeffs) -> Ciphertext:
         term = CkksEngine.rescale_ciphertext(
             _mul_const(engine_at(t_cur.level), t_cur, coeffs[k])
         )
-        acc = align_level(engine_at(acc.level), acc, term.level)
-        acc = CkksEngine.add_ciphertexts(acc, term)
+        acc = _combine(engine_at, acc, term)
     return acc
 
 
@@ -241,7 +250,8 @@ class BootstrapKeys:
     lazily per level here (mirroring KeyLadder's lazy mode).
     """
 
-    def __init__(self, ladder, params, rng, digit_size: int = 1):
+    def __init__(self, ladder, params, rng, digit_size: int = 1,
+                 evict: bool = True):
         from ..keys import KeyLadder  # noqa: F401 (typing aid)
 
         self.ladder = ladder
@@ -249,6 +259,12 @@ class BootstrapKeys:
         self._rng = rng
         self._std = float(params.error_variance) ** 0.5
         self.digit_size = digit_size
+        # evict=True frees each matvec level's rotation keys after use
+        # (minimum memory, keys regenerated per refresh); evict=False
+        # keeps them for repeated refreshes — at N=2^13/ds=4 the full
+        # factored-DFT key set is ~5 GB, well inside one chip's HBM,
+        # and makes warm refreshes keygen-free.
+        self.evict = evict
         self._rot: dict[tuple[int, int], object] = {}
         self._conj: dict[int, object] = {}
 
@@ -266,11 +282,36 @@ class BootstrapKeys:
         return self._rot[key]
 
     def evict_level(self, level: int) -> None:
-        """Drop cached rotation keys at ``level``. The factored-DFT
-        bootstrap visits each matvec level once; holding every level's
-        key set alive would dominate device memory at production N."""
+        """Drop cached rotation keys at ``level`` (no-op when
+        ``evict=False``). A single factored-DFT bootstrap visits each
+        matvec level once; holding every level's key set alive would
+        dominate device memory at production N unless the caller opted
+        into key reuse."""
+        if not self.evict:
+            return
         for key in [k for k in self._rot if k[0] == level]:
             del self._rot[key]
+
+    def encoded_diags(self, diag_map: dict, offs, target_ctx, encoder):
+        """Encode (and cache) the diagonal plaintexts of one matvec.
+
+        Per-diagonal encodes are host-side big-int CRT — at N=2^13 a
+        refresh touches ~150 of them across 6 matvec levels, so warm
+        refresh latency is dominated by re-encoding unless cached. The
+        diag dicts come from lru-cached factorizations (stable object
+        identity) and target contexts from the ladder, so the cache key
+        is (id(diag_map), moduli) and entries live as long as this
+        BootstrapKeys object."""
+        cache = getattr(self, "_pt_cache", None)
+        if cache is None:
+            cache = self._pt_cache = {}
+        key = (id(diag_map), target_ctx.moduli, tuple(offs))
+        if key not in cache:
+            cache[key] = [
+                encoder.encode_complex(diag_map[r], target_ctx)
+                for r in offs
+            ]
+        return cache[key]
 
     def rot_map(self, level: int) -> dict:
         """Rotation keys {offset: key} for offsets 1..N/2-1 at ``level``.
@@ -403,7 +444,7 @@ def coeff_to_slot(
 
 def slot_to_coeff(
     ct: Ciphertext, bkeys: BootstrapKeys, encoder, giant="auto",
-    levels: int | None = None,
+    levels: int | None = None, premul: complex = 1.0,
 ) -> Ciphertext:
     """Homomorphic SlotToCoeff: inverse of ``coeff_to_slot``.
 
@@ -412,12 +453,18 @@ def slot_to_coeff(
     canonical embedding of that coefficient vector. Consumes 1 level
     (``levels=None``) or ``levels`` levels (factored path, consuming
     the bit-reversed order ``coeff_to_slot`` produced). ``giant``: as
-    in ``coeff_to_slot``.
+    in ``coeff_to_slot``. ``premul``: free scalar folded into the first
+    applied diagonal set (the matvec is linear) — used by ``bootstrap``
+    to divide out the arcsine sqrt(c) factor without a level.
     """
     if levels is not None:
-        _, stc_groups = _grouped_dft_diagonals(ct.ctx.degree, levels)
+        stc_groups = _stc_groups_premul(
+            ct.ctx.degree, levels, complex(premul)
+        )
         return _matvec_grouped(ct, bkeys, stc_groups, encoder)
     _, A_diags = _cts_diagonals(ct.ctx.degree)
+    if premul != 1.0:
+        A_diags = premul * A_diags
     out = _matvec(ct, bkeys, A_diags, encoder, giant)
     return CkksEngine.rescale_ciphertext(out)
 
@@ -529,6 +576,18 @@ def _grouped_dft_diagonals(degree: int, levels: int):
     return tuple(cts_groups), tuple(stc_groups)
 
 
+@functools.lru_cache(maxsize=8)
+def _stc_groups_premul(degree: int, levels: int, premul: complex):
+    """StC groups with ``premul`` folded into the first applied set —
+    cached so the dict objects are stable across refreshes (the
+    plaintext-encode cache in BootstrapKeys keys on identity)."""
+    _, stc_groups = _grouped_dft_diagonals(degree, levels)
+    if premul == 1.0:
+        return stc_groups
+    first = {r: premul * d for r, d in stc_groups[0].items()}
+    return (first,) + tuple(stc_groups[1:])
+
+
 def _matvec_diagonal_map(
     ct: Ciphertext, bkeys: "BootstrapKeys", diag_map: dict, encoder
 ) -> Ciphertext:
@@ -543,10 +602,10 @@ def _matvec_diagonal_map(
     acc = None
     if rotks:
         ext_ctx = rotks[0].ext_ctx
-        pts = [encoder.encode_complex(diag_map[r], ext_ctx) for r in offs]
+        pts = bkeys.encoded_diags(diag_map, offs, ext_ctx, encoder)
         acc = CkksEngine.rotate_weighted_sum_hoisted(ct, rotks, pts)
     if 0 in diag_map:
-        pt0 = encoder.encode_complex(diag_map[0], ct.ctx)
+        (pt0,) = bkeys.encoded_diags(diag_map, (0,), ct.ctx, encoder)
         term = CkksEngine.mul_plain(ct, pt0)
         acc = term if acc is None else CkksEngine.add_ciphertexts(acc, term)
     return acc
@@ -590,6 +649,32 @@ def _exp_cheb_coeffs(a: float, deg: int):
     return out
 
 
+def _arcsine_c(rho: float) -> float:
+    """Cubic arcsine-correction constant c = (2 pi / rho)^2 / 6."""
+    return (2.0 * np.pi / rho) ** 2 / 6.0
+
+
+def _mul_i(ct: Ciphertext) -> Ciphertext:
+    """Multiply every slot by i, EXACTLY and scale-free.
+
+    i is the value of the monomial X^{N/2} at every first-half slot root
+    (zeta_k^{N/2} = i^{J(k)} = i since J(k) = 5^k = 1 mod 4), so the
+    product is a plain multiply by an INTEGER plaintext (coefficient 1,
+    scale_bits 0) — no scale growth, no rescale, no noise beyond the
+    ring rotation itself."""
+    from ..types import Plaintext
+
+    ctx = ct.ctx
+    coeffs = np.zeros(ctx.degree, dtype=object)
+    coeffs[ctx.degree // 2] = 1
+    pt = Plaintext(
+        poly=Poly.from_coeffs(coeffs, ctx),
+        scale_bits=0,
+        slots=ctx.degree // 2,
+    )
+    return CkksEngine.mul_plain(ct, pt)
+
+
 def eval_mod(
     ladder,
     params,
@@ -602,6 +687,7 @@ def eval_mod(
     r: int = 5,
     deg: int = 6,
     method: str = "linear",
+    arcsine: bool = False,
 ) -> Ciphertext:
     """Approximate y -> (rho/2pi) sin(2pi y / rho) ~ y mod rho (centered).
 
@@ -615,11 +701,26 @@ def eval_mod(
 
     ``pre`` must equal c/(rho*K) with |c| = 1 (the caller uses it to
     fold in the real/imag-split constants 1/2 and -i/2 for free).
+
+    ``arcsine=True`` appends the inverse-sine cubic correction
+    y + c y^3, c = (2 pi / rho)^2 / 6 (2 more levels), cancelling the
+    sine linearization error's cubic term — the output error drops from
+    O((m/rho)^3) to O((m/rho)^5) + fit error (Lattigo's "Cos + ArcSine"
+    refinement). To keep it at 2 levels the constant is folded into
+    ``post`` as sqrt(c) (v = sqrt(c) y; v + v^3 = sqrt(c)(y + c y^3)),
+    so the OUTPUT CARRIES A sqrt(c) FACTOR the caller must divide out —
+    ``bootstrap`` folds 1/sqrt(c) into the SlotToCoeff diagonals for
+    free. The branch output message must be real slot-wise for the
+    cube, so ``post`` must put it on the real axis; the caller re-packs
+    the imaginary branch with the exact ``_mul_i`` afterwards.
     """
+    from .algorithms import align_level
 
     def engine_at(level):
         return CkksEngine(ladder.at_level(level).ctx, params)
 
+    if arcsine:
+        post = post * _arcsine_c(rho) ** 0.5
     u = CkksEngine.rescale_ciphertext(_mul_const(engine_at(ct.level), ct, pre))
     a = 2.0 * np.pi * K / (1 << r)
     if method == "ps":
@@ -636,9 +737,21 @@ def eval_mod(
         w = CkksEngine.rescale_ciphertext(CkksEngine.square_ciphertext(w, rlk))
     w_conj = CkksEngine.conjugate_ciphertext(w, bkeys.conj(w.level))
     s = CkksEngine.sub_ciphertexts(w, w_conj)
-    return CkksEngine.rescale_ciphertext(
+    y = CkksEngine.rescale_ciphertext(
         _mul_const(engine_at(s.level), s, post)
     )
+    if not arcsine:
+        return y
+    # v + v^3 on v = sqrt(c) y (c folded into post above): 2 levels
+    from .funceval import _combine
+
+    rlk = ladder.at_level(y.level).rlk
+    sq = CkksEngine.rescale_ciphertext(CkksEngine.square_ciphertext(y, rlk))
+    y_al = align_level(engine_at(y.level), y, sq.level)
+    cube = CkksEngine.mul_rescale(
+        y_al, sq, ladder.at_level(sq.level).rlk
+    )
+    return _combine(engine_at, y, cube)
 
 
 def bootstrap(
@@ -653,6 +766,7 @@ def bootstrap(
     giant="auto",
     method: str = "linear",
     dft_levels: int | None = None,
+    arcsine: bool = False,
 ) -> Ciphertext:
     """Refresh a level-1 ciphertext: same message, higher level.
 
@@ -662,8 +776,10 @@ def bootstrap(
     single-level DFTs, or target - (deg + r + 2 + 2*dft_levels) with
     the factored path (``dft_levels`` sparse matvec levels per DFT —
     the production choice at N >= 2^10, where the dense matvec's N/2
-    diagonals are infeasible). The message must satisfy |m|/q0 << 1
-    (the sine linearization error is ~ (2 pi |m|/q0)^2 / 6 relative).
+    diagonals are infeasible); ``arcsine=True`` costs 2 more levels and
+    drops the sine linearization error from O((m/q0)^2) to O((m/q0)^4)
+    relative (see ``eval_mod``). Without it the message must satisfy
+    |m|/q0 << 1 (error ~ (2 pi |m|/q0)^2 / 6 relative).
 
     The reference has no counterpart (its chain only ever shrinks,
     engine.rs:255-282); this is the capability that turns a levelled
@@ -687,14 +803,27 @@ def bootstrap(
     m_re = eval_mod(
         ladder, params, bkeys, s_plus, rho, K,
         pre=0.5 / (rho * K), post=base_post, r=r, deg=deg, method=method,
+        arcsine=arcsine,
     )
-    # fold the -i (un-2i) and the i (re-pack) into pre/post: the imag
-    # branch evaluates on Im(t) and contributes i * EvalMod(Im(t))
+    # fold the -i (un-2i) into pre: the imag branch evaluates on Im(t)
+    # and contributes i * EvalMod(Im(t)). The re-packing i rides post
+    # for free on the plain path; the arcsine path must cube a REAL
+    # message, so it corrects first and re-packs with the exact
+    # monomial multiply afterwards.
     m_im = eval_mod(
         ladder, params, bkeys, s_minus, rho, K,
-        pre=-0.5j / (rho * K), post=1j * base_post, r=r, deg=deg,
-        method=method,
+        pre=-0.5j / (rho * K),
+        post=base_post if arcsine else 1j * base_post, r=r, deg=deg,
+        method=method, arcsine=arcsine,
     )
-    m_t = CkksEngine.add_ciphertexts(m_re, m_im)
+    if arcsine:
+        m_im = _mul_i(m_im)
+    from .funceval import _combine
+
+    def engine_at(level):
+        return CkksEngine(ladder.at_level(level).ctx, params)
+
+    m_t = _combine(engine_at, m_re, m_im)
+    premul = _arcsine_c(rho) ** -0.5 if arcsine else 1.0
     return slot_to_coeff(m_t, bkeys, encoder, giant=giant,
-                         levels=dft_levels)
+                         levels=dft_levels, premul=premul)

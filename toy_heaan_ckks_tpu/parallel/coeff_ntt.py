@@ -220,6 +220,161 @@ def _cross_stage_remote(x, w, wp, q3, *, shift: int, axis: str,
     )(x, w, wp, q3)
 
 
+def _pair(x):
+    """(..., 2, S) limb array -> (lo, hi) u64-pair tuple."""
+    return x[..., 0, :], x[..., 1, :]
+
+
+def _unpair(p):
+    return jnp.stack([p[0], p[1]], axis=-2)
+
+
+def _stage_body_wide(x, w, wp, q2, d: int, g_base, axis: str,
+                     inverse: bool):
+    """One distance-d butterfly stage on a wide local slab (..., L, 2, S).
+
+    2-limb Harvey-Shoup arithmetic (ops/ntt_pallas_wide helpers on u64
+    limb pairs), canonical [0, q) in and out per stage — the same
+    in-place formulation as the small ``_stage_body``, so residues are
+    bit-exact with the single-chip wide kernel/oracle."""
+    from ..ops.ntt_pallas_wide import _add_mod64, _harvey64, _sub_mod64
+    from ..ops.u64 import select64
+
+    s_len = x.shape[-1]
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)[0]
+    g_idx = g_base + local
+    mask = (g_idx % (2 * d)) < d
+
+    if d < s_len:
+        v_at_u = jnp.roll(x, -d, axis=-1)
+        u_at_v = jnp.roll(x, d, axis=-1)
+    else:
+        # cross-shard: every shard is entirely the u or the v side of
+        # its group (d is a multiple of the slab size), so ONE
+        # symmetric XOR-partner exchange serves both butterfly roles —
+        # partner holds x_v on u shards and x_u on v shards, exactly
+        # the operand each side consumes (the mask discards the other
+        # arm). One collective per stage instead of two ring ppermutes;
+        # two independent in-flight ppermutes also deadlock
+        # nondeterministically on the forced-host multi-device CPU
+        # backend (observed in round 5), which this sidesteps.
+        shift = d // s_len
+        n_sh = jax.lax.axis_size(axis)
+        pairs = [(i ^ shift, i) for i in range(n_sh)]
+        partner = jax.lax.ppermute(x, axis, perm=pairs)
+        v_at_u = u_at_v = partner
+
+    px, pv, pu = _pair(x), _pair(v_at_u), _pair(u_at_v)
+    pw, pwp = _pair(w), _pair(wp)
+    q = (q2[:, 0, None], q2[:, 1, None])
+    if inverse:
+        total = _add_mod64(px, pv, q)
+        t = _harvey64(_sub_mod64(pu, px, q), pw, pwp, q)
+        return _unpair(select64(mask, total, t))
+    operand = select64(mask, pv, px)
+    t = _harvey64(operand, pw, pwp, q)
+    return _unpair(
+        select64(mask, _add_mod64(px, t, q), _sub_mod64(pu, t, q))
+    )
+
+
+def build_coeff_sharded_ntt_wide(mesh: Mesh, moduli: tuple, degree: int,
+                                 inverse: bool, axis: str = "coeff"):
+    """Coefficient-sharded NTT for WIDE chains (q < 2^62, 2-limb data).
+
+    fn(x): (..., L, 2, N) uint32 Montgomery limb pairs with N sharded on
+    ``mesh[axis]`` -> same shape/sharding, bit-exact with the
+    single-chip wide kernel (ops/ntt_pallas_wide) and the jnp oracle.
+    Cross-shard stages (d >= slab) are ppermute pairs exactly like the
+    small path; local stages run as jnp limb-pair Harvey butterflies
+    under shard_map (no Pallas local tail yet — the wide tail kernel is
+    a follow-up; this builder is the correctness + comm-pattern path the
+    multichip dryrun exercises)."""
+    from ..ops.ntt_pallas_wide import _harvey64, _planes_cached_wide
+    from ..ops.poly import _on_tpu  # noqa: F401 (parity with small)
+
+    moduli = tuple(int(m) for m in moduli)
+    n = degree
+    fwd_w, fwd_wp, inv_w, inv_wp, q_arr, ninv, ninvp = _planes_cached_wide(
+        moduli, n
+    )
+    w_planes, wp_planes = (inv_w, inv_wp) if inverse else (fwd_w, fwd_wp)
+
+    s_count = n.bit_length() - 1
+    n_sh = mesh.shape[axis]
+    if n % n_sh or (n // n_sh) & ((n // n_sh) - 1):
+        raise ValueError("coefficient shards must be a power-of-two size")
+
+    # numpy closures (inlined as literals at trace time, like the small
+    # builder's q_col) — a jnp.asarray here would be COMMITTED to device
+    # 0 and force cross-device transfers into every shard's program
+    q2 = np.asarray(q_arr)  # (L, 2)
+    ninv2 = np.asarray(ninv)
+    ninvp2 = np.asarray(ninvp)
+
+    def local_fn(x, w, wp):
+        # x: (B, L, 2, S); w/wp: (L, S_stages, 2, S) local twiddles
+        p = jax.lax.axis_index(axis)
+        s_len = x.shape[-1]
+        g_base = (p * s_len).astype(jnp.int32)
+        for s in (range(s_count - 1, -1, -1) if inverse
+                  else range(s_count)):
+            d = n >> (s + 1)
+            x = _stage_body_wide(
+                x, w[:, s], wp[:, s], q2, d, g_base, axis, inverse
+            )
+            # materialize between stages: without this, the SPMD CPU
+            # pipeline fuses the whole stage chain into one expression
+            # and re-evaluates shared subterms per consumer — measured
+            # ~6x runtime PER STAGE (2.4s at 3 stages, 15s at 4,
+            # unbounded at 5+) on the 8-virtual-device mesh. The
+            # barrier restores linear cost; each stage is a full-slab
+            # pass anyway, so materializing it is the intended schedule
+            x = jax.lax.optimization_barrier(x)
+        if inverse:
+            from ..ops.u64 import select64  # noqa: F401
+
+            px = _pair(x)
+            q = (q2[:, 0, None], q2[:, 1, None])
+            nv = (ninv2[:, 0, None], ninv2[:, 1, None])
+            nvp = (ninvp2[:, 0, None], ninvp2[:, 1, None])
+            x = _unpair(_harvey64(px, nv, nvp, q))
+        return x
+
+    from jax import shard_map
+
+    smap = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, axis),
+            P(None, None, None, axis),
+            P(None, None, None, axis),
+        ),
+        out_specs=P(None, None, None, axis),
+        check_vma=False,
+    )
+
+    w_dev = jax.device_put(
+        jnp.asarray(w_planes),
+        NamedSharding(mesh, P(None, None, None, axis)),
+    )
+    wp_dev = jax.device_put(
+        jnp.asarray(wp_planes),
+        NamedSharding(mesh, P(None, None, None, axis)),
+    )
+
+    @jax.jit
+    def fn(x):
+        lead = x.shape[:-3]
+        L = x.shape[-3]
+        x4 = x.reshape(-1, L, 2, n)
+        out = smap(x4, w_dev, wp_dev)
+        return out.reshape(*lead, L, 2, n)
+
+    return fn
+
+
 def build_coeff_sharded_ntt(mesh: Mesh, moduli: tuple, degree: int,
                             inverse: bool, axis: str = "coeff",
                             use_pallas: bool | None = None,
