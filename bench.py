@@ -20,7 +20,11 @@ single-host native proxy measured on this machine (cached in
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "mults/s/chip", "vs_baseline": N,
-   "wide": {...}, "ntt": {...}}
+   "wide": {...}, "ntt": {...}, "compare": {...}}
+where ``compare`` is an in-window paired A/B (fused composite vs the
+sequential key-switch+rescale path, interleaved in THIS process/window)
+— the falsifiability mechanism for perf claims that cross-window
+variance (±25%, CLAUDE.md) otherwise swallows.
 """
 
 from __future__ import annotations
@@ -503,6 +507,14 @@ def main():
     lat_sec = _measure(DEGREE, NUM_PRIMES, PRIME_BITS, DIGIT_SIZE,
                        batch=1, iters=48, warmup=WARMUP)
     ntt = _measure_ntt_roofline()
+    # in-window paired A/B (VERDICT r04 §2): control = shipped fused
+    # composite, candidate = sequential key-switch+rescale path — the
+    # one falsifiable perf claim window variance cannot fake. Guarded:
+    # a compare failure must not cost the headline number.
+    try:
+        cmp_row = _compare("seq-mul", reps=7)
+    except Exception as e:  # noqa: BLE001 — diagnostic field only
+        cmp_row = {"compare": "seq-mul", "error": repr(e)}
 
     print(
         json.dumps(
@@ -539,6 +551,7 @@ def main():
                     "value_ms": round(lat_sec * 1e3, 3),
                 },
                 "ntt": ntt,
+                "compare": cmp_row,
             }
         )
     )
